@@ -1,0 +1,133 @@
+"""In-tree action selection rules (per batch element, used under vmap).
+
+Selection fn signature: ``fn(rng, tree, node_index, depth, sim) -> action``
+where ``sim`` is the simulation index (needed by the sequential-halving root
+rule). Capability parity: PUCT with pb_c 1.25/19652 (reference defaults at
+muax/policy.py:17-30) and the Gumbel root/interior rules the reference gets
+from mctx (muax/policy.py:33-47).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from muax_tpu.search import qtransforms
+from muax_tpu.search.tree import ROOT_INDEX, Tree
+
+# fn(rng, tree, node_index, depth, sim) -> action (all per-element)
+ActionSelectionFn = Callable[[jax.Array, Tree, jax.Array, jax.Array,
+                              jax.Array], jax.Array]
+
+
+def _mask_invalid(logits: jax.Array, invalid: jax.Array) -> jax.Array:
+  return jnp.where(invalid > 0, -jnp.inf, logits)
+
+
+def muzero_action_selection(
+    rng: jax.Array,
+    tree: Tree,
+    node_index: jax.Array,
+    depth: jax.Array,
+    sim: jax.Array,
+    *,
+    pb_c_init: float = 1.25,
+    pb_c_base: float = 19652.0,
+    qtransform=qtransforms.qtransform_by_parent_and_siblings,
+) -> jax.Array:
+  """PUCT: argmax_a [ Q(a) + P(a) * sqrt(N) / (1 + n(a)) * pb_c ]."""
+  del sim
+  visit_counts = tree.children_visits[node_index].astype(jnp.float32)
+  node_visit = tree.node_visits[node_index].astype(jnp.float32)
+  pb_c = pb_c_init + jnp.log((node_visit + pb_c_base + 1.0) / pb_c_base)
+  prior_probs = jax.nn.softmax(tree.children_prior_logits[node_index], -1)
+  policy_score = jnp.sqrt(node_visit) * pb_c * prior_probs / (
+      visit_counts + 1.0)
+  value_score = qtransform(tree, node_index)
+  # Tiny uniform noise breaks ties between equal scores without perturbing
+  # the ordering of distinct ones.
+  noise = jax.random.uniform(rng, policy_score.shape) * 1e-7
+  to_argmax = value_score + policy_score + noise
+  # Invalid actions are only known (and only matter) at the root.
+  to_argmax = jnp.where(depth == 0,
+                        _mask_invalid(to_argmax, tree.root_invalid_actions),
+                        to_argmax)
+  return jnp.argmax(to_argmax, axis=-1).astype(jnp.int32)
+
+
+def gumbel_muzero_root_action_selection(
+    rng: jax.Array,
+    tree: Tree,
+    node_index: jax.Array,
+    depth: jax.Array,
+    sim: jax.Array,
+    *,
+    table: jax.Array,  # [max_considered + 1, num_simulations] int32
+    max_num_considered_actions: int,
+    qtransform=qtransforms.qtransform_completed_by_mix_value,
+) -> jax.Array:
+  """Sequential halving: among considered actions whose visit count equals the
+  scheduled count, argmax of g + logits + sigma(q-hat)."""
+  del rng, depth
+  visit_counts = tree.children_visits[node_index]
+  prior_logits = tree.children_prior_logits[node_index]
+  completed_q = qtransform(tree, node_index)
+  gumbel = tree.extra_data.root_gumbel
+  num_valid = jnp.sum(1 - tree.root_invalid_actions, axis=-1).astype(jnp.int32)
+  num_considered = jnp.minimum(max_num_considered_actions, num_valid)
+  considered_visit = table[num_considered, sim]
+  score = jnp.where(visit_counts == considered_visit,
+                    gumbel + prior_logits + completed_q,
+                    -jnp.inf)
+  score = _mask_invalid(score, tree.root_invalid_actions)
+  return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def gumbel_muzero_interior_action_selection(
+    rng: jax.Array,
+    tree: Tree,
+    node_index: jax.Array,
+    depth: jax.Array,
+    sim: jax.Array,
+    *,
+    qtransform=qtransforms.qtransform_completed_by_mix_value,
+) -> jax.Array:
+  """Deterministic improved-policy tracking: argmax pi'(a) - n(a)/(1+N).
+
+  Drives empirical visit proportions toward the improved policy
+  softmax(logits + sigma(q-hat)) (Gumbel MuZero paper, sec. 5).
+  """
+  del rng, sim
+  visit_counts = tree.children_visits[node_index].astype(jnp.float32)
+  prior_logits = tree.children_prior_logits[node_index]
+  completed_q = qtransform(tree, node_index)
+  probs = jax.nn.softmax(prior_logits + completed_q, -1)
+  to_argmax = probs - visit_counts / (
+      1.0 + jnp.sum(visit_counts, axis=-1, keepdims=False))
+  return jnp.argmax(to_argmax, axis=-1).astype(jnp.int32)
+
+
+def switching_action_selection(
+    root_fn: ActionSelectionFn,
+    interior_fn: ActionSelectionFn,
+) -> ActionSelectionFn:
+  """Dispatch on depth: root rule at depth 0, interior rule below."""
+
+  def fn(rng, tree, node_index, depth, sim):
+    return jax.lax.cond(
+        depth == 0,
+        lambda: root_fn(rng, tree, node_index, depth, sim),
+        lambda: interior_fn(rng, tree, node_index, depth, sim))
+
+  return fn
+
+
+def make_muzero_action_selection(pb_c_init: float = 1.25,
+                                 pb_c_base: float = 19652.0,
+                                 qtransform=qtransforms
+                                 .qtransform_by_parent_and_siblings
+                                 ) -> ActionSelectionFn:
+  return functools.partial(muzero_action_selection, pb_c_init=pb_c_init,
+                           pb_c_base=pb_c_base, qtransform=qtransform)
