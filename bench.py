@@ -1,0 +1,109 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: env-steps/s/chip through the FULL training iteration (vectorized
+search-driven rollout + replay + learner updates) on the flagship CartPole
+MLP agent. Baseline (BASELINE.md north star): >= 100k env-steps/s/chip.
+Also reports MCTS simulations/s at 64 sims and learner updates/s as extra
+fields on the same line.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_ENV_STEPS_PER_S = 100_000.0
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--num_envs", type=int, default=1024)
+  p.add_argument("--num_simulations", type=int, default=64)
+  p.add_argument("--collect_steps", type=int, default=20)
+  p.add_argument("--batch_size", type=int, default=512)
+  p.add_argument("--updates", type=int, default=8)
+  p.add_argument("--iters", type=int, default=10)
+  args = p.parse_args()
+
+  from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
+                               TrainConfig)
+  from muax_tpu.envs import AutoResetWrapper, CartPole
+  from muax_tpu.models import make_mlp_networks, muzero_optimizer
+  from muax_tpu.replay.buffer import replay_add, replay_init
+  from muax_tpu.train.actor import make_rollout_fn
+  from muax_tpu.train.learner import TrainState, make_multi_update_fn
+
+  config = MuZeroConfig(
+      search=SearchConfig(num_simulations=args.num_simulations),
+      replay=ReplayConfig(capacity=2048, min_fill=64),
+      train=TrainConfig(num_envs=args.num_envs,
+                        collect_steps=args.collect_steps,
+                        batch_size=args.batch_size,
+                        updates_per_iteration=args.updates,
+                        unroll_steps=5, n_bootstrap=10))
+  networks = make_mlp_networks(num_actions=2, embedding_dim=8,
+                               support_size=20)
+  env = AutoResetWrapper(CartPole())
+  optimizer = muzero_optimizer()
+  rollout = make_rollout_fn(networks, env, config)
+  multi_update = make_multi_update_fn(networks, optimizer, config)
+
+  rng = jax.random.PRNGKey(0)
+  rng, init_rng, env_rng = jax.random.split(rng, 3)
+  params = networks.init_params(init_rng, jnp.zeros((1, 4)))
+  train_state = TrainState(params=params, opt_state=optimizer.init(params),
+                           step=jnp.asarray(0, jnp.int32))
+  env_carry = env.reset(env_rng, args.num_envs)
+  replay_state = replay_init(config.replay.capacity, args.collect_steps,
+                             (4,), 2)
+
+  @functools.partial(jax.jit, donate_argnums=(1, 2))
+  def iteration(train_state, replay_state, env_carry, rng):
+    rollout_rng, update_rng = jax.random.split(rng)
+    env_carry, segments, priorities, _ = rollout(
+        train_state.params, env_carry, rollout_rng,
+        train_state.params.temperature)
+    replay_state = replay_add(replay_state, segments, priorities)
+    train_state, replay_state, metrics = multi_update(
+        train_state, replay_state, update_rng)
+    return train_state, replay_state, env_carry, metrics
+
+  # Warm-up: fill replay + trigger compilation.
+  for i in range(2):
+    rng, it_rng = jax.random.split(rng)
+    train_state, replay_state, env_carry, metrics = iteration(
+        train_state, replay_state, env_carry, it_rng)
+  jax.block_until_ready(metrics)
+
+  t0 = time.time()
+  for i in range(args.iters):
+    rng, it_rng = jax.random.split(rng)
+    train_state, replay_state, env_carry, metrics = iteration(
+        train_state, replay_state, env_carry, it_rng)
+  jax.block_until_ready(metrics)
+  dt = time.time() - t0
+
+  env_steps = args.iters * args.num_envs * args.collect_steps
+  env_steps_per_s = env_steps / dt
+  sims_per_s = env_steps_per_s * args.num_simulations
+  updates_per_s = args.iters * args.updates / dt
+
+  print(json.dumps({
+      "metric": "env_steps_per_s_per_chip",
+      "value": round(env_steps_per_s, 1),
+      "unit": "env-steps/s/chip",
+      "vs_baseline": round(env_steps_per_s / BASELINE_ENV_STEPS_PER_S, 3),
+      "mcts_sims_per_s": round(sims_per_s, 1),
+      "num_simulations": args.num_simulations,
+      "learner_updates_per_s": round(updates_per_s, 2),
+      "num_envs": args.num_envs,
+      "device": str(jax.devices()[0]),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,1 +1,10 @@
-"""(stub — populated in later phases)"""
+"""Pure-JAX vectorized environments and wrappers."""
+
+from muax_tpu.envs.base import (
+    Environment,
+    EnvSpec,
+    AutoResetWrapper,
+    AutoResetState,
+)
+from muax_tpu.envs.cartpole import CartPole
+from muax_tpu.envs.catch import Catch

@@ -1,0 +1,115 @@
+"""The k-step unrolled MuZero loss.
+
+Semantics parity with the reference's ``default_loss_fn`` (muax/loss.py:10-88)
+and the acme learner loss (acme/jax/muzero/learning.py:176-256):
+  * value/reward targets as categorical cross-entropy against two-hot
+    supports of h-transformed scalars,
+  * policy cross-entropy against search visit distributions,
+  * hidden-state gradient scaled by 0.5 through the dynamics unroll,
+  * stop-gradient on all targets, loss normalized by the unroll length
+    (the coax twin's ``/L`` at frameworks/coax/model.py:418-419), and
+  * L2 regularization 1e-4 * 0.5 * sum(p^2).
+
+Additions for the on-device pipeline: per-step validity masks (episode
+boundaries inside fixed-length segments) and fresh PER priorities returned
+alongside the loss (replaces the reference's async Reverb priority mutation,
+learning.py:108-121).
+
+The unroll is a static Python loop (L is small: 5-10) so XLA fuses the whole
+chain into one program with the batched matmuls on the MXU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from muax_tpu.models.networks import MZNetworks, MZParams
+from muax_tpu.ops import scalar_to_support, scale_gradient, support_to_scalar
+from muax_tpu.types import Transition
+
+
+class LossMetrics(NamedTuple):
+  total: jax.Array
+  reward_loss: jax.Array
+  value_loss: jax.Array
+  policy_loss: jax.Array
+  l2_loss: jax.Array
+  priorities: jax.Array  # [B] fresh PER priorities
+
+
+def _ce(logits: jax.Array, target_probs: jax.Array) -> jax.Array:
+  """Per-example softmax cross-entropy; targets are stop-gradiented."""
+  target_probs = jax.lax.stop_gradient(target_probs)
+  return -jnp.sum(target_probs * jax.nn.log_softmax(logits, -1), axis=-1)
+
+
+def muzero_loss(
+    params: MZParams,
+    batch: Transition,
+    networks: MZNetworks,
+    *,
+    num_unroll_steps: int | None = None,
+    l2_coef: float = 1e-4,
+    gradient_scale: float = 0.5,
+    priority_alpha: float = 0.5,
+    dynamics_on_first_embedding: bool = True,
+) -> tuple[jax.Array, LossMetrics]:
+  """Compute the unrolled loss on a [B, L, ...] batch.
+
+  ``dynamics_on_first_embedding`` keeps the top-level reference semantics
+  (model.py:265-282: prediction runs on the *post*-transition embedding).
+  """
+  support = networks.support_size
+  num_steps = num_unroll_steps or batch.action.shape[1]
+  batch_size = batch.action.shape[0]
+
+  s = networks.representation.apply(params.representation, batch.obs[:, 0])
+
+  reward_loss = jnp.zeros(batch_size)
+  value_loss = jnp.zeros(batch_size)
+  policy_loss = jnp.zeros(batch_size)
+  first_value = None
+
+  for i in range(num_steps):
+    mask = batch.mask[:, i].astype(s.dtype)
+    policy_logits, value_logits = networks.prediction.apply(
+        params.prediction, s)
+    value_target = scalar_to_support(batch.rn[:, i], support)
+    value_loss += mask * _ce(value_logits, value_target)
+    policy_loss += mask * _ce(policy_logits, batch.pi[:, i])
+    if i == 0:
+      first_value = support_to_scalar(
+          jax.nn.softmax(value_logits, -1), support)
+
+    s = scale_gradient(s, gradient_scale)
+    reward_logits, s = networks.dynamic.apply(
+        params.dynamic, s, batch.action[:, i])
+    reward_target = scalar_to_support(batch.reward[:, i], support)
+    reward_loss += mask * _ce(reward_logits, reward_target)
+
+  denom = jnp.maximum(jnp.sum(batch.mask, axis=1), 1.0)
+  reward_loss = reward_loss / denom
+  value_loss = value_loss / denom
+  policy_loss = policy_loss / denom
+
+  per_example = reward_loss + value_loss + policy_loss
+  weighted = jnp.mean(batch.weight * per_example)
+
+  l2 = l2_coef * 0.5 * sum(
+      jnp.sum(jnp.square(p))
+      for p in jax.tree.leaves((params.representation, params.prediction,
+                                params.dynamic)))
+  total = weighted + l2
+
+  priorities = jnp.abs(first_value - batch.rn[:, 0]) ** priority_alpha
+  metrics = LossMetrics(
+      total=total,
+      reward_loss=jnp.mean(reward_loss),
+      value_loss=jnp.mean(value_loss),
+      policy_loss=jnp.mean(policy_loss),
+      l2_loss=l2,
+      priorities=jax.lax.stop_gradient(priorities),
+  )
+  return total, metrics

@@ -1,1 +1,10 @@
-"""(stub — populated in later phases)"""
+"""Mesh construction and the sharded SPMD training program."""
+
+from muax_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    data_sharding,
+    replicated,
+)
+from muax_tpu.parallel.sharded import ShardedProgram, make_sharded_program

@@ -1,1 +1,9 @@
-"""(stub — populated in later phases)"""
+"""On-device prioritized trajectory replay."""
+
+from muax_tpu.replay.buffer import (
+    ReplayState,
+    replay_init,
+    replay_add,
+    replay_sample,
+    replay_update_priorities,
+)

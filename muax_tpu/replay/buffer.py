@@ -1,0 +1,159 @@
+"""On-device prioritized trajectory replay.
+
+The TPU-native replacement for the reference's two replay systems: the
+host-numpy ``TrajectoryReplayBuffer`` (muax/replay_buffer.py:154-240) and the
+Reverb C++ PER server of the acme path (acme/jax/muzero/builder.py:128-187).
+All storage lives in HBM as fixed-shape ring arrays ``[capacity, L, ...]``;
+add / sample / priority-update are pure jitted functions, so replay never
+leaves the device and composes into the one SPMD training program
+(sharded per data-parallel shard).
+
+Semantics preserved:
+  * two-level weighted sampling — segment by aggregate priority, then window
+    start within the segment by per-step priority
+    (replay_buffer.py:192-240's trajectory-then-window scheme),
+  * priorities |v - Rn|^alpha written at insert (PNStep, episode_tracer.py:
+    197-249) and refreshed in place from learner TD errors (the Reverb
+    mutation path, learning.py:108-121),
+  * sampling with replacement over both levels.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from muax_tpu.types import Transition
+
+
+@struct.dataclass
+class ReplayState:
+  """Ring storage of trajectory segments. Leaves: [C, L, ...]."""
+  obs: jax.Array
+  action: jax.Array
+  reward: jax.Array
+  done: jax.Array
+  rn: jax.Array
+  value: jax.Array
+  pi: jax.Array
+  step_priorities: jax.Array  # [C, L] f32 (already alpha-exponentiated)
+  cursor: jax.Array           # int32 — next write slot
+  total_added: jax.Array      # int32 — lifetime segments added
+
+  @property
+  def capacity(self) -> int:
+    return self.action.shape[0]
+
+  @property
+  def segment_length(self) -> int:
+    return self.action.shape[1]
+
+  @property
+  def size(self) -> jax.Array:
+    return jnp.minimum(self.total_added, self.capacity)
+
+
+def replay_init(capacity: int, segment_length: int,
+                observation_shape: Tuple[int, ...], num_actions: int,
+                obs_dtype=jnp.float32) -> ReplayState:
+  C, L = capacity, segment_length
+  return ReplayState(
+      obs=jnp.zeros((C, L) + tuple(observation_shape), obs_dtype),
+      action=jnp.zeros((C, L), jnp.int32),
+      reward=jnp.zeros((C, L), jnp.float32),
+      done=jnp.zeros((C, L), jnp.bool_),
+      rn=jnp.zeros((C, L), jnp.float32),
+      value=jnp.zeros((C, L), jnp.float32),
+      pi=jnp.zeros((C, L, num_actions), jnp.float32),
+      step_priorities=jnp.zeros((C, L), jnp.float32),
+      cursor=jnp.asarray(0, jnp.int32),
+      total_added=jnp.asarray(0, jnp.int32),
+  )
+
+
+def replay_add(state: ReplayState, segments: Transition,
+               step_priorities: jax.Array) -> ReplayState:
+  """Insert K segments ([K, L, ...]) at the ring cursor (with wraparound)."""
+  k = segments.action.shape[0]
+  idx = (state.cursor + jnp.arange(k)) % state.capacity
+  return state.replace(
+      obs=state.obs.at[idx].set(segments.obs),
+      action=state.action.at[idx].set(segments.action),
+      reward=state.reward.at[idx].set(segments.reward),
+      done=state.done.at[idx].set(segments.done),
+      rn=state.rn.at[idx].set(segments.rn),
+      value=state.value.at[idx].set(segments.value),
+      pi=state.pi.at[idx].set(segments.pi),
+      step_priorities=state.step_priorities.at[idx].set(step_priorities),
+      cursor=(state.cursor + k) % state.capacity,
+      total_added=state.total_added + k,
+  )
+
+
+def _window_validity_mask(done: jax.Array) -> jax.Array:
+  """[B, K]: step t valid iff no done strictly before t inside the window."""
+  before = jnp.cumsum(done.astype(jnp.int32), axis=1) - done.astype(jnp.int32)
+  return (before == 0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("batch_size", "k_steps"))
+def replay_sample(state: ReplayState, rng: jax.Array, batch_size: int,
+                  k_steps: int) -> tuple[Transition, jax.Array, jax.Array]:
+  """Two-level weighted sample of [batch_size, k_steps] windows.
+
+  Returns (batch, segment_indices, window_starts) — the indices let the
+  learner refresh priorities in place afterwards.
+  """
+  C, L = state.capacity, state.segment_length
+  num_starts = L - k_steps + 1
+  seg_rng, win_rng = jax.random.split(rng)
+
+  # Level 1: segment by aggregate priority, masked to filled slots.
+  filled = jnp.arange(C) < state.size
+  seg_logits = jnp.where(
+      filled,
+      jnp.log(jnp.sum(state.step_priorities, axis=1) + 1e-9),
+      -jnp.inf)
+  seg_idx = jax.random.categorical(seg_rng, seg_logits, shape=(batch_size,))
+
+  # Level 2: window start by the priority of the start step.
+  start_prios = state.step_priorities[seg_idx, :num_starts]  # [B, num_starts]
+  start_logits = jnp.log(start_prios + 1e-9)
+  starts = jax.vmap(jax.random.categorical)(
+      jax.random.split(win_rng, batch_size), start_logits)
+
+  def gather(arr):
+    def one(seg, start):
+      return jax.lax.dynamic_slice_in_dim(arr[seg], start, k_steps, axis=0)
+    return jax.vmap(one)(seg_idx, starts)
+
+  done = gather(state.done)
+  mask = _window_validity_mask(done)
+  weight = gather(state.step_priorities)[:, 0]
+  weight = weight / jnp.maximum(jnp.mean(weight), 1e-9)
+
+  batch = Transition(
+      obs=gather(state.obs),
+      action=gather(state.action),
+      reward=gather(state.reward),
+      done=done,
+      rn=gather(state.rn),
+      value=gather(state.value),
+      pi=gather(state.pi),
+      weight=weight,
+      mask=mask,
+  )
+  return batch, seg_idx, starts
+
+
+def replay_update_priorities(state: ReplayState, seg_idx: jax.Array,
+                             starts: jax.Array,
+                             new_priorities: jax.Array) -> ReplayState:
+  """In-place refresh of the sampled windows' start-step priorities
+  (replaces the reference's async Reverb mutation, learning.py:108-121)."""
+  return state.replace(
+      step_priorities=state.step_priorities.at[seg_idx, starts]
+      .set(new_priorities))

@@ -1,0 +1,180 @@
+"""The end-to-end training driver (the reference's ``fit``/``test`` pair,
+muax/train.py:26-242 and muax/test.py:5-48, rebuilt around one jitted
+iteration: rollout -> replay add -> K learner updates — all on device).
+
+Host involvement per iteration: one dispatch + metric readback. Buffer
+warm-up, temperature scheduling, periodic greedy evaluation, best-model
+checkpointing, and the returned best path match the reference driver's
+behavior.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from muax_tpu.config import MuZeroConfig
+from muax_tpu.envs.base import AutoResetWrapper, Environment
+from muax_tpu.models.networks import MZNetworks
+from muax_tpu.models.optimizers import muzero_optimizer
+from muax_tpu.replay.buffer import replay_add, replay_init
+from muax_tpu.train.actor import make_policy_fn, make_rollout_fn
+from muax_tpu.train.checkpoint import save_pytree
+from muax_tpu.train.learner import TrainState, make_multi_update_fn
+from muax_tpu.train.temperature import schedule_temperature
+
+
+def make_evaluate_fn(networks: MZNetworks, env: AutoResetWrapper,
+                     config: MuZeroConfig, num_envs: int = 32):
+  """Greedy evaluation (temperature=0): mean return of each env's first
+  episode (the reference's test(), muax/test.py:5-48)."""
+  policy_fn = make_policy_fn(networks, config, config.train.discount)
+  max_steps = env.spec.max_episode_steps
+
+  @jax.jit
+  def evaluate(params, rng):
+    reset_rng, run_rng = jax.random.split(rng)
+    carry = env.reset(reset_rng, num_envs)
+
+    def step_fn(scan_carry, rng_t):
+      ar_state, finished, returns = scan_carry
+      policy_rng, env_rng = jax.random.split(rng_t)
+      action, _, _ = policy_fn(params, policy_rng, ar_state.obs, 0.0)
+      new_ar, reward, done, _ = env.step(ar_state, action, env_rng)
+      returns = returns + jnp.where(finished, 0.0, reward)
+      finished = jnp.logical_or(finished, done)
+      return (new_ar, finished, returns), ()
+
+    (_, _, returns), _ = jax.lax.scan(
+        step_fn,
+        (carry, jnp.zeros(num_envs, bool), jnp.zeros(num_envs)),
+        jax.random.split(run_rng, max_steps))
+    return jnp.mean(returns)
+
+  return evaluate
+
+
+def fit(
+    env: Environment,
+    networks: MZNetworks,
+    config: Optional[MuZeroConfig] = None,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    *,
+    num_iterations: int = 500,
+    seed: int = 42,
+    eval_every: int = 20,
+    log_every: int = 10,
+    model_dir: str = "models",
+    save_best: bool = True,
+    target_reward: Optional[float] = None,
+    log_fn: Callable[[str], None] = print,
+):
+  """Train MuZero on a pure-JAX env. Returns (train_state, results dict).
+
+  ``results['model_path']`` is the best checkpoint (reference fit() contract,
+  train.py:217-241); ``results['history']`` holds per-log metrics.
+  """
+  config = config or MuZeroConfig()
+  optimizer = optimizer or muzero_optimizer()
+  tcfg = config.train
+
+  wrapped = AutoResetWrapper(env)
+  rollout = make_rollout_fn(networks, wrapped, config)
+  multi_update = make_multi_update_fn(networks, optimizer, config)
+  evaluate = make_evaluate_fn(networks, wrapped, config)
+
+  rng = jax.random.PRNGKey(seed)
+  rng, init_rng, env_rng = jax.random.split(rng, 3)
+  sample_obs = jnp.zeros((1,) + env.spec.observation_shape)
+  params = networks.init_params(init_rng, sample_obs)
+  train_state = TrainState(params=params, opt_state=optimizer.init(params),
+                           step=jnp.asarray(0, jnp.int32))
+  env_carry = wrapped.reset(env_rng, tcfg.num_envs)
+  replay_state = replay_init(
+      config.replay.capacity, tcfg.collect_steps,
+      env.spec.observation_shape, networks.num_actions)
+
+  @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnums=(4,))
+  def iteration(train_state, replay_state, env_carry, rng, learn: bool):
+    rng, rollout_rng, update_rng = jax.random.split(rng, 3)
+    temperature = train_state.params.temperature
+    env_carry, segments, priorities, roll_metrics = rollout(
+        train_state.params, env_carry, rollout_rng, temperature)
+    replay_state = replay_add(replay_state, segments, priorities)
+    if learn:
+      train_state, replay_state, learn_metrics = multi_update(
+          train_state, replay_state, update_rng)
+    else:
+      learn_metrics = {}
+    return train_state, replay_state, env_carry, {**roll_metrics,
+                                                  **learn_metrics}
+
+  # --- buffer warm-up (train.py:146-173) ---
+  warm_iters = max(1, config.replay.min_fill // tcfg.num_envs)
+  for _ in range(warm_iters):
+    rng, it_rng = jax.random.split(rng)
+    train_state, replay_state, env_carry, _ = iteration(
+        train_state, replay_state, env_carry, it_rng, False)
+
+  history = []
+  best_reward = -np.inf
+  best_path = None
+  env_steps_per_iter = tcfg.num_envs * tcfg.collect_steps
+  t_start = time.time()
+  timed_steps = 0
+
+  for it in range(num_iterations):
+    rng, it_rng = jax.random.split(rng)
+    # Refresh actor temperature from the schedule (temperature-in-params
+    # trick, acme/jax/muzero/networks.py:16-20).
+    temperature = schedule_temperature(
+        tcfg.temperature_schedule, num_iterations, it)
+    train_state = train_state._replace(
+        params=train_state.params._replace(
+            temperature=jnp.asarray(temperature, jnp.float32)))
+    train_state, replay_state, env_carry, metrics = iteration(
+        train_state, replay_state, env_carry, it_rng, True)
+    timed_steps += env_steps_per_iter
+
+    if (it + 1) % log_every == 0 or it == 0:
+      metrics = jax.tree.map(float, jax.device_get(metrics))
+      elapsed = time.time() - t_start
+      metrics.update(iteration=it + 1,
+                     env_steps=(it + 1 + warm_iters) * env_steps_per_iter,
+                     env_steps_per_s=timed_steps / max(elapsed, 1e-9))
+      t_start, timed_steps = time.time(), 0
+
+      if (it + 1) % eval_every == 0 or it == 0:
+        rng, eval_rng = jax.random.split(rng)
+        test_g = float(evaluate(train_state.params, eval_rng))
+        metrics["test_G"] = test_g
+        if test_g > best_reward:
+          best_reward = test_g
+          if save_best:
+            best_path = os.path.join(model_dir, f"best_it{it + 1}.ckpt")
+            save_pytree(best_path, {
+                "params": train_state.params,
+                "opt_state": train_state.opt_state,
+                "step": train_state.step,
+            })
+      history.append(metrics)
+      log_fn(f"[muax_tpu] " + " ".join(
+          f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+          for k, v in sorted(metrics.items())))
+      if (target_reward is not None
+          and metrics.get("test_G", -np.inf) >= target_reward):
+        log_fn(f"[muax_tpu] target reward {target_reward} reached at "
+               f"iteration {it + 1}")
+        break
+
+  return train_state, {
+      "model_path": best_path,
+      "best_reward": best_reward,
+      "history": history,
+  }

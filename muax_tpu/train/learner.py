@@ -1,0 +1,98 @@
+"""The jitted learner: sample -> unrolled loss -> optax -> priority refresh.
+
+Replaces the reference's MZLearner step (acme/jax/muzero/learning.py:269-301)
+with a fully on-device update chained directly onto the device replay —
+no host iterator, no Reverb round-trip. Data-parallel gradient reduction is
+layered on by muax_tpu.parallel (psum over the mesh, replacing
+pmap/lax.pmean at learning.py:130-151).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from muax_tpu.config import MuZeroConfig
+from muax_tpu.models.losses import muzero_loss
+from muax_tpu.models.networks import MZNetworks, MZParams
+from muax_tpu.replay.buffer import (
+    ReplayState,
+    replay_sample,
+    replay_update_priorities,
+)
+
+
+class TrainState(NamedTuple):
+  """Parity with the reference TrainingState (learning.py:34-40)."""
+  params: MZParams
+  opt_state: Any
+  step: jax.Array
+
+
+def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation,
+                   config: MuZeroConfig, axis_name: str | None = None):
+  """Build update(train_state, replay_state, rng) ->
+  (train_state, replay_state, metrics). One sampled batch, one grad step."""
+  tcfg = config.train
+
+  def update(train_state: TrainState, replay_state: ReplayState,
+             rng: jax.Array):
+    batch, seg_idx, starts = replay_sample(
+        replay_state, rng, tcfg.batch_size, tcfg.unroll_steps)
+
+    def loss_fn(params):
+      return muzero_loss(
+          params, batch, networks,
+          l2_coef=tcfg.l2_coef,
+          gradient_scale=tcfg.gradient_scale,
+          priority_alpha=config.replay.priority_alpha)
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(train_state.params)
+    if axis_name is not None:
+      grads = jax.lax.pmean(grads, axis_name)
+    updates, opt_state = optimizer.update(grads, train_state.opt_state,
+                                          train_state.params)
+    new_params = optax.apply_updates(train_state.params, updates)
+    # Temperature is actor state, not a learnable weight: restore it.
+    new_params = new_params._replace(temperature=train_state.params.temperature)
+
+    replay_state = replay_update_priorities(
+        replay_state, seg_idx, starts, metrics.priorities + 1e-6)
+    new_state = TrainState(params=new_params, opt_state=opt_state,
+                           step=train_state.step + 1)
+    out_metrics = {
+        "loss": metrics.total,
+        "reward_loss": metrics.reward_loss,
+        "value_loss": metrics.value_loss,
+        "policy_loss": metrics.policy_loss,
+        "l2_loss": metrics.l2_loss,
+        "grad_norm": optax.global_norm(grads),
+    }
+    return new_state, replay_state, out_metrics
+
+  return update
+
+
+def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
+                         axis_name: str | None = None):
+  """scan of N updates per call (the gradient_steps_per_learner_step=8
+  batching idea, acme/jax/muzero/config.py:30-32)."""
+  update = make_update_fn(networks, optimizer, config, axis_name)
+  n = config.train.updates_per_iteration
+
+  def multi_update(train_state: TrainState, replay_state: ReplayState,
+                   rng: jax.Array):
+    def body(carry, rng_i):
+      ts, rs = carry
+      ts, rs, metrics = update(ts, rs, rng_i)
+      return (ts, rs), metrics
+
+    (train_state, replay_state), metrics = jax.lax.scan(
+        body, (train_state, replay_state), jax.random.split(rng, n))
+    mean_metrics = jax.tree.map(jnp.mean, metrics)
+    return train_state, replay_state, mean_metrics
+
+  return multi_update

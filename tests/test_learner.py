@@ -1,0 +1,151 @@
+"""Learner: loss sanity, gradient steps reduce loss, temperature handling,
+optimizer factories."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from muax_tpu.config import MuZeroConfig, ReplayConfig, SearchConfig, TrainConfig
+from muax_tpu.models import (
+    create_optimizer,
+    make_mlp_networks,
+    muzero_loss,
+    muzero_optimizer,
+)
+from muax_tpu.replay import replay_add, replay_init
+from muax_tpu.train.learner import TrainState, make_update_fn
+from muax_tpu.types import Transition
+
+
+def make_batch(rng, B=16, L=5, obs_shape=(4,), num_actions=2):
+  ks = jax.random.split(rng, 4)
+  return Transition(
+      obs=jax.random.normal(ks[0], (B, L) + obs_shape),
+      action=jax.random.randint(ks[1], (B, L), 0, num_actions),
+      reward=jax.random.uniform(ks[2], (B, L)),
+      done=jnp.zeros((B, L), bool),
+      rn=jax.random.uniform(ks[3], (B, L)) * 5,
+      value=jnp.zeros((B, L)),
+      pi=jnp.ones((B, L, num_actions)) / num_actions,
+      weight=jnp.ones((B,)),
+      mask=jnp.ones((B, L)),
+  )
+
+
+class TestLoss:
+
+  def test_loss_finite_and_positive(self):
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    batch = make_batch(jax.random.PRNGKey(1))
+    loss, metrics = muzero_loss(params, batch, networks)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert metrics.priorities.shape == (16,)
+    assert np.all(np.asarray(metrics.priorities) >= 0)
+
+  def test_mask_zeroes_steps(self):
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    batch = make_batch(jax.random.PRNGKey(1))
+    # Garbage targets on masked steps must not change the loss.
+    masked = batch.replace(mask=batch.mask.at[:, 2:].set(0.0))
+    poisoned = masked.replace(rn=masked.rn.at[:, 2:].set(1e6))
+    l1, _ = muzero_loss(params, masked, networks)
+    l2, _ = muzero_loss(params, poisoned, networks)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+  def test_gradient_descends(self):
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    batch = make_batch(jax.random.PRNGKey(1))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+      (loss, _), grads = jax.value_and_grad(
+          lambda p: muzero_loss(p, batch, networks), has_aux=True)(params)
+      updates, opt_state = opt.update(grads, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+      params, opt_state, loss = step(params, opt_state)
+      losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
+
+
+class TestUpdateFn:
+
+  def _setup(self):
+    config = MuZeroConfig(
+        search=SearchConfig(num_simulations=4),
+        replay=ReplayConfig(capacity=32, min_fill=4),
+        train=TrainConfig(num_envs=4, collect_steps=8, batch_size=8,
+                          unroll_steps=3, updates_per_iteration=2))
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    # No warmup here: the canonical muzero_optimizer starts at lr=0, which
+    # would make "params moved" assertions vacuous at step 1.
+    opt = create_optimizer("adam", lr=1e-3)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.asarray(0, jnp.int32))
+    replay = replay_init(32, 8, (4,), 2)
+    batch = make_batch(jax.random.PRNGKey(1), B=8, L=8)
+    replay = replay_add(replay, batch, jnp.ones((8, 8)))
+    return config, networks, opt, state, replay
+
+  def test_update_advances_and_preserves_temperature(self):
+    config, networks, opt, state, replay = self._setup()
+    state = state._replace(
+        params=state.params._replace(temperature=jnp.asarray(0.37)))
+    update = jax.jit(make_update_fn(networks, opt, config))
+    new_state, new_replay, metrics = update(state, replay,
+                                            jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    assert float(new_state.params.temperature) == pytest.approx(0.37)
+    # Parameters actually moved.
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        state.params.representation,
+                        new_state.params.representation)
+    assert max(jax.tree.leaves(diff)) > 0
+    assert np.isfinite(metrics["loss"])
+
+  def test_priorities_refreshed(self):
+    config, networks, opt, state, replay = self._setup()
+    update = jax.jit(make_update_fn(networks, opt, config))
+    _, new_replay, _ = update(state, replay, jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(new_replay.step_priorities),
+                           np.asarray(replay.step_priorities))
+
+
+class TestOptimizers:
+
+  def test_muzero_optimizer_runs(self):
+    opt = muzero_optimizer()
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    updates, state = opt.update({"w": jnp.ones(3)}, state, params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
+
+  @pytest.mark.parametrize("name", ["adam", "adamw", "sgd", "rmsprop",
+                                    "adagrad", "lion"])
+  def test_factory_names(self, name):
+    opt = create_optimizer(name, lr=1e-3)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones(3)}, state, params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
+
+  @pytest.mark.parametrize("sched", ["warmup_cosine_decay",
+                                     "exponential_decay", "cosine_decay",
+                                     "polynomial"])
+  def test_factory_schedules(self, sched):
+    opt = create_optimizer("adam", lr=1e-3, scheduler=sched)
+    params = {"w": jnp.ones(3)}
+    opt.update({"w": jnp.ones(3)}, opt.init(params), params)
+
+  def test_unknown_raises(self):
+    with pytest.raises(ValueError):
+      create_optimizer("nope")

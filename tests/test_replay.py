@@ -1,0 +1,100 @@
+"""Device replay buffer: ring semantics, two-level weighted sampling,
+window masks, priority refresh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muax_tpu.replay import (
+    replay_add,
+    replay_init,
+    replay_sample,
+    replay_update_priorities,
+)
+from muax_tpu.types import Transition
+
+
+def make_segments(k, L, obs_shape=(4,), num_actions=2, fill=0.0):
+  return Transition(
+      obs=jnp.full((k, L) + obs_shape, fill),
+      action=jnp.zeros((k, L), jnp.int32),
+      reward=jnp.full((k, L), fill),
+      done=jnp.zeros((k, L), bool),
+      rn=jnp.zeros((k, L)),
+      value=jnp.zeros((k, L)),
+      pi=jnp.ones((k, L, num_actions)) / num_actions,
+      weight=jnp.ones((k,)),
+      mask=jnp.ones((k, L)),
+  )
+
+
+class TestReplay:
+
+  def test_add_and_size(self):
+    state = replay_init(8, 4, (4,), 2)
+    assert int(state.size) == 0
+    state = replay_add(state, make_segments(3, 4), jnp.ones((3, 4)))
+    assert int(state.size) == 3
+    assert int(state.cursor) == 3
+
+  def test_ring_wraparound(self):
+    state = replay_init(4, 4, (4,), 2)
+    state = replay_add(state, make_segments(3, 4, fill=1.0),
+                       jnp.ones((3, 4)))
+    state = replay_add(state, make_segments(3, 4, fill=2.0),
+                       jnp.ones((3, 4)))
+    assert int(state.size) == 4
+    assert int(state.cursor) == 2
+    # Slots 3, 0, 1 hold the newer data; slot 2 the older.
+    np.testing.assert_allclose(np.asarray(state.reward[3]), 2.0)
+    np.testing.assert_allclose(np.asarray(state.reward[0]), 2.0)
+    np.testing.assert_allclose(np.asarray(state.reward[2]), 1.0)
+
+  def test_sample_shapes(self):
+    state = replay_init(16, 8, (4,), 2)
+    state = replay_add(state, make_segments(8, 8), jnp.ones((8, 8)))
+    batch, seg_idx, starts = replay_sample(
+        state, jax.random.PRNGKey(0), batch_size=32, k_steps=5)
+    assert batch.obs.shape == (32, 5, 4)
+    assert batch.action.shape == (32, 5)
+    assert batch.pi.shape == (32, 5, 2)
+    assert batch.mask.shape == (32, 5)
+    assert np.all(np.asarray(starts) <= 3)  # L - k = 3
+
+  def test_only_filled_slots_sampled(self):
+    state = replay_init(16, 4, (4,), 2)
+    state = replay_add(state, make_segments(2, 4), jnp.ones((2, 4)))
+    _, seg_idx, _ = replay_sample(state, jax.random.PRNGKey(0), 64, 2)
+    assert np.all(np.asarray(seg_idx) < 2)
+
+  def test_priority_bias(self):
+    state = replay_init(4, 4, (4,), 2)
+    prios = jnp.stack([jnp.full((4,), 0.001), jnp.full((4,), 10.0),
+                       jnp.full((4,), 0.001), jnp.full((4,), 0.001)])
+    state = replay_add(state, make_segments(4, 4), prios)
+    _, seg_idx, _ = replay_sample(state, jax.random.PRNGKey(0), 256, 2)
+    counts = np.bincount(np.asarray(seg_idx), minlength=4)
+    assert counts[1] > 200  # heavily favored
+
+  def test_window_mask_stops_after_done(self):
+    state = replay_init(4, 6, (4,), 2)
+    seg = make_segments(1, 6)
+    seg = seg.replace(done=jnp.asarray([[False, False, True, False, False,
+                                         False]]))
+    state = replay_add(state, seg, jnp.ones((1, 6)))
+    batch, _, starts = replay_sample(
+        state, jax.random.PRNGKey(1), batch_size=16, k_steps=6)
+    # With only one segment and start forced to 0 (num_starts == 1),
+    # mask must be 1,1,1,0,0,0: the done step keeps its targets, later
+    # steps (next episode) are masked out of the unroll.
+    np.testing.assert_allclose(np.asarray(batch.mask),
+                               np.tile([1, 1, 1, 0, 0, 0], (16, 1)))
+
+  def test_update_priorities(self):
+    state = replay_init(4, 4, (4,), 2)
+    state = replay_add(state, make_segments(4, 4), jnp.ones((4, 4)))
+    state = replay_update_priorities(
+        state, jnp.asarray([1, 2]), jnp.asarray([0, 3]),
+        jnp.asarray([5.0, 7.0]))
+    assert float(state.step_priorities[1, 0]) == 5.0
+    assert float(state.step_priorities[2, 3]) == 7.0
+    assert float(state.step_priorities[0, 0]) == 1.0
