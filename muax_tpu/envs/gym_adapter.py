@@ -1,0 +1,104 @@
+"""Host gymnasium environments under the jitted driver.
+
+The escape hatch for environments that are not pure JAX (LunarLander,
+Atari): a host-side pool of gymnasium envs is stepped through ONE batched
+``jax.experimental.io_callback`` per rollout step from inside the compiled
+program. The device program stays identical — search, replay, learner all
+on-device — only the env transition crosses the host boundary (SURVEY §7
+Phase 3 "host-env escape hatch").
+
+``GymVectorPool`` implements the same interface as ``AutoResetWrapper``
+(reset(rng, batch)/step(carry, action, rng)), with auto-reset handled
+host-side, so ``make_rollout_fn`` and ``fit`` accept it unchanged.
+
+Throughput note: each step costs one host round-trip over the whole batch;
+prefer pure-JAX envs for the performance path.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.experimental
+import jax.numpy as jnp
+import numpy as np
+
+from muax_tpu.envs.base import AutoResetState, EnvSpec
+
+
+class GymVectorPool:
+  """N host gym envs with host-side auto-reset, batched io_callback step."""
+
+  def __init__(self, env_id: str, num_envs: int, seed: int = 0, **kwargs):
+    import gymnasium
+
+    self.num_envs = num_envs
+    self._envs = [gymnasium.make(env_id, **kwargs) for _ in range(num_envs)]
+    self._seeds = list(range(seed, seed + num_envs))
+    env0 = self._envs[0]
+    self.spec = EnvSpec(
+        observation_shape=tuple(env0.observation_space.shape),
+        num_actions=int(env0.action_space.n),
+        max_episode_steps=env0.spec.max_episode_steps or 1000)
+
+  # -- host side -----------------------------------------------------------
+  def _host_reset_all(self):
+    obs = np.zeros((self.num_envs,) + self.spec.observation_shape,
+                   np.float32)
+    for i, env in enumerate(self._envs):
+      o, _ = env.reset(seed=self._seeds[i])
+      self._seeds[i] += self.num_envs
+      obs[i] = o
+    return obs
+
+  def _host_step(self, action):
+    action = np.asarray(action)
+    obs = np.zeros((self.num_envs,) + self.spec.observation_shape,
+                   np.float32)
+    rew = np.zeros((self.num_envs,), np.float32)
+    done = np.zeros((self.num_envs,), bool)
+    for i, env in enumerate(self._envs):
+      o, r, terminated, truncated, _ = env.step(int(action[i]))
+      if terminated or truncated:
+        done[i] = True
+        o, _ = env.reset(seed=self._seeds[i])
+        self._seeds[i] += self.num_envs
+      obs[i] = o
+      rew[i] = r
+    return obs, rew, done
+
+  # -- device-facing API (AutoResetWrapper-compatible) ---------------------
+  def reset(self, rng: jax.Array, batch_size: int) -> AutoResetState:
+    del rng
+    if batch_size != self.num_envs:
+      raise ValueError(f"batch_size {batch_size} != pool size "
+                       f"{self.num_envs}")
+    obs = jax.experimental.io_callback(
+        self._host_reset_all,
+        jax.ShapeDtypeStruct((self.num_envs,) + self.spec.observation_shape,
+                             jnp.float32),
+        ordered=True)
+    return AutoResetState(
+        env_state=(),  # lives host-side
+        obs=obs,
+        episode_step=jnp.zeros(self.num_envs, jnp.int32),
+        episode_return=jnp.zeros(self.num_envs, jnp.float32))
+
+  def step(self, carry: AutoResetState, action: jax.Array, rng: jax.Array):
+    del rng
+    obs, reward, done = jax.experimental.io_callback(
+        self._host_step,
+        (jax.ShapeDtypeStruct((self.num_envs,) + self.spec.observation_shape,
+                              jnp.float32),
+         jax.ShapeDtypeStruct((self.num_envs,), jnp.float32),
+         jax.ShapeDtypeStruct((self.num_envs,), jnp.bool_)),
+        action, ordered=True)
+    episode_return = carry.episode_return + reward
+    new_carry = AutoResetState(
+        env_state=(),
+        obs=obs,
+        episode_step=jnp.where(done, 0, carry.episode_step + 1),
+        episode_return=jnp.where(done, 0.0, episode_return))
+    info = {"terminated": done, "truncated": jnp.zeros_like(done),
+            "episode_return": episode_return}
+    return new_carry, reward, done, info

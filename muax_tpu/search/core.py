@@ -188,8 +188,14 @@ def search(
                                 root.prior_logits.dtype)
 
   from muax_tpu.search.action_selection import switching_action_selection
-  action_selection_fn = switching_action_selection(
-      root_action_selection_fn, interior_action_selection_fn)
+  if root_action_selection_fn is interior_action_selection_fn:
+    # One rule for all depths (MuZero PUCT handles the root mask itself):
+    # dropping the batched cond avoids evaluating both branches per
+    # descent step under vmap.
+    action_selection_fn = root_action_selection_fn
+  else:
+    action_selection_fn = switching_action_selection(
+        root_action_selection_fn, interior_action_selection_fn)
 
   tree = tree_lib.instantiate_tree_from_root(
       root, num_simulations, invalid_actions, extra_data)

@@ -23,11 +23,18 @@ from muax_tpu.types import Transition
 
 
 def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
-                   discount: float):
-  """(params, rng, obs, temperature) -> (action, pi, root_value)"""
+                   discount: float, eval_mode: bool = False):
+  """(params, rng, obs, temperature) -> (action, pi, root_value).
+
+  ``eval_mode`` disables the Dirichlet exploration noise on the root prior —
+  greedy evaluation should not randomize its root (the reference evaluates
+  through the noisy training policy, muax/test.py:5-48; this is a
+  deliberate improvement).
+  """
   root_fn = make_root_fn(networks)
   recurrent_fn = make_recurrent_fn(networks, discount)
   search = config.search
+  dirichlet_fraction = 0.0 if eval_mode else search.dirichlet_fraction
 
   def policy_fn(params: MZParams, rng: jax.Array, obs: jax.Array,
                 temperature):
@@ -37,7 +44,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           params, rng, root, recurrent_fn,
           num_simulations=search.num_simulations,
           max_depth=search.max_depth,
-          dirichlet_fraction=search.dirichlet_fraction,
+          dirichlet_fraction=dirichlet_fraction,
           dirichlet_alpha=search.dirichlet_alpha,
           pb_c_init=search.pb_c_init,
           pb_c_base=search.pb_c_base,

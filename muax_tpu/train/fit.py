@@ -34,7 +34,8 @@ def make_evaluate_fn(networks: MZNetworks, env: AutoResetWrapper,
                      config: MuZeroConfig, num_envs: int = 32):
   """Greedy evaluation (temperature=0): mean return of each env's first
   episode (the reference's test(), muax/test.py:5-48)."""
-  policy_fn = make_policy_fn(networks, config, config.train.discount)
+  policy_fn = make_policy_fn(networks, config, config.train.discount,
+                             eval_mode=True)
   max_steps = env.spec.max_episode_steps
 
   @jax.jit
@@ -84,7 +85,10 @@ def fit(
   optimizer = optimizer or muzero_optimizer()
   tcfg = config.train
 
-  wrapped = AutoResetWrapper(env)
+  # A raw pure-JAX Environment gets the batched auto-reset wrapper; batched
+  # pools (e.g. envs.gym_adapter.GymVectorPool) already speak the wrapper
+  # interface and pass through.
+  wrapped = AutoResetWrapper(env) if isinstance(env, Environment) else env
   rollout = make_rollout_fn(networks, wrapped, config)
   multi_update = make_multi_update_fn(networks, optimizer, config)
   evaluate = make_evaluate_fn(networks, wrapped, config)
