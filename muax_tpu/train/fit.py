@@ -75,6 +75,8 @@ def fit(
     save_best: bool = True,
     target_reward: Optional[float] = None,
     log_fn: Callable[[str], None] = print,
+    reanalyze_every: Optional[int] = None,
+    reanalyze_segments: int = 64,
 ):
   """Train MuZero on a pure-JAX env. Returns (train_state, results dict).
 
@@ -92,6 +94,11 @@ def fit(
   rollout = make_rollout_fn(networks, wrapped, config)
   multi_update = make_multi_update_fn(networks, optimizer, config)
   evaluate = make_evaluate_fn(networks, wrapped, config)
+  reanalyze = None
+  if reanalyze_every:
+    from muax_tpu.train.reanalyze import make_reanalyze_fn
+    reanalyze = jax.jit(
+        make_reanalyze_fn(networks, config, reanalyze_segments))
 
   rng = jax.random.PRNGKey(seed)
   rng, init_rng, env_rng = jax.random.split(rng, 3)
@@ -142,9 +149,16 @@ def fit(
     train_state = train_state._replace(
         params=train_state.params._replace(
             temperature=jnp.asarray(temperature, jnp.float32)))
-    train_state, replay_state, env_carry, metrics = iteration(
-        train_state, replay_state, env_carry, it_rng, True)
+    with jax.profiler.StepTraceAnnotation("iteration", step_num=it):
+      train_state, replay_state, env_carry, metrics = iteration(
+          train_state, replay_state, env_carry, it_rng, True)
     timed_steps += env_steps_per_iter
+
+    if reanalyze is not None and (it + 1) % reanalyze_every == 0:
+      rng, re_rng = jax.random.split(rng)
+      replay_state, re_metrics = reanalyze(train_state.params, replay_state,
+                                           re_rng)
+      metrics = {**metrics, **re_metrics}
 
     if (it + 1) % log_every == 0 or it == 0:
       metrics = jax.tree.map(float, jax.device_get(metrics))

@@ -1,1 +1,3 @@
-"""(stub — populated in later phases)"""
+"""Cross-cutting utilities: profiling, timing."""
+
+from muax_tpu.utils.profiling import Stopwatch, step_annotation, trace
