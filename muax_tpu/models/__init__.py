@@ -9,3 +9,15 @@ from muax_tpu.models.networks import (
 )
 from muax_tpu.models.losses import muzero_loss, LossMetrics
 from muax_tpu.models.optimizers import muzero_optimizer, create_optimizer
+from muax_tpu.models.acme_networks import (
+    CategoricalMZNetworks,
+    make_categorical_mlp_networks,
+    make_fc_resnet_networks,
+)
+from muax_tpu.models.stochastic_networks import (
+    SMZNetworks,
+    SMZParams,
+    make_stochastic_mlp_networks,
+)
+from muax_tpu.models.stochastic_losses import stochastic_muzero_loss
+from muax_tpu.models.az_networks import AZNetwork, make_az_mlp, make_az_resnet

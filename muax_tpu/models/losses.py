@@ -26,8 +26,26 @@ import jax
 import jax.numpy as jnp
 
 from muax_tpu.models.networks import MZNetworks, MZParams
-from muax_tpu.ops import scalar_to_support, scale_gradient, support_to_scalar
+from muax_tpu.ops import (
+    scalar_to_support,
+    scalar_to_two_hot,
+    scale_gradient,
+    support_to_scalar,
+    two_hot_to_scalar,
+)
 from muax_tpu.types import Transition
+
+
+def _target_codec(networks):
+  """(scalar -> probs, probs -> scalar) for either value-head convention."""
+  if hasattr(networks, "num_bins"):
+    enc = lambda x: scalar_to_two_hot(x, networks.num_bins, networks.vmin,
+                                      networks.vmax)
+    dec = lambda p: two_hot_to_scalar(p, networks.vmin, networks.vmax)
+  else:
+    enc = lambda x: scalar_to_support(x, networks.support_size)
+    dec = lambda p: support_to_scalar(p, networks.support_size)
+  return enc, dec
 
 
 class LossMetrics(NamedTuple):
@@ -61,7 +79,7 @@ def muzero_loss(
   ``dynamics_on_first_embedding`` keeps the top-level reference semantics
   (model.py:265-282: prediction runs on the *post*-transition embedding).
   """
-  support = networks.support_size
+  encode, decode = _target_codec(networks)
   num_steps = num_unroll_steps or batch.action.shape[1]
   batch_size = batch.action.shape[0]
 
@@ -76,18 +94,16 @@ def muzero_loss(
     mask = batch.mask[:, i].astype(s.dtype)
     policy_logits, value_logits = networks.prediction.apply(
         params.prediction, s)
-    value_target = scalar_to_support(batch.rn[:, i], support)
+    value_target = encode(batch.rn[:, i])
     value_loss += mask * _ce(value_logits, value_target)
     policy_loss += mask * _ce(policy_logits, batch.pi[:, i])
     if i == 0:
-      first_value = support_to_scalar(
-          jax.nn.softmax(value_logits, -1), support)
+      first_value = decode(jax.nn.softmax(value_logits, -1))
 
     s = scale_gradient(s, gradient_scale)
     reward_logits, s = networks.dynamic.apply(
         params.dynamic, s, batch.action[:, i])
-    reward_target = scalar_to_support(batch.reward[:, i], support)
-    reward_loss += mask * _ce(reward_logits, reward_target)
+    reward_loss += mask * _ce(reward_logits, encode(batch.reward[:, i]))
 
   denom = jnp.maximum(jnp.sum(batch.mask, axis=1), 1.0)
   reward_loss = reward_loss / denom

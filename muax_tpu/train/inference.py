@@ -10,18 +10,29 @@ import jax
 import jax.numpy as jnp
 
 from muax_tpu.models.networks import MZNetworks, MZParams
-from muax_tpu.ops import logits_to_scalar
+from muax_tpu.ops import logits_to_scalar, two_hot_logits_to_scalar
 from muax_tpu.search import RecurrentFnOutput, RootFnOutput
+
+
+def _value_head_decoder(networks):
+  """Logits -> scalar for either head convention: integer h-transform
+  support (networks.MZNetworks) or linear [vmin, vmax] two-hot
+  (acme_networks.CategoricalMZNetworks)."""
+  if hasattr(networks, "num_bins"):
+    return lambda logits: two_hot_logits_to_scalar(
+        logits, networks.vmin, networks.vmax)
+  return lambda logits: logits_to_scalar(logits, networks.support_size)
 
 
 def make_root_fn(networks: MZNetworks):
   """(params, obs [B, ...]) -> RootFnOutput"""
+  decode = _value_head_decoder(networks)
 
   def root_fn(params: MZParams, obs: jax.Array) -> RootFnOutput:
     embedding = networks.representation.apply(params.representation, obs)
     policy_logits, value_logits = networks.prediction.apply(
         params.prediction, embedding)
-    value = logits_to_scalar(value_logits, networks.support_size)
+    value = decode(value_logits)
     return RootFnOutput(prior_logits=policy_logits, value=value,
                         embedding=embedding)
 
@@ -30,6 +41,7 @@ def make_root_fn(networks: MZNetworks):
 
 def make_recurrent_fn(networks: MZNetworks, discount: float):
   """Search-facing dynamics step: dyn -> pred on the post-transition state."""
+  decode = _value_head_decoder(networks)
 
   def recurrent_fn(params: MZParams, rng: jax.Array, action: jax.Array,
                    embedding: jax.Array):
@@ -38,8 +50,8 @@ def make_recurrent_fn(networks: MZNetworks, discount: float):
         params.dynamic, embedding, action)
     policy_logits, value_logits = networks.prediction.apply(
         params.prediction, next_embedding)
-    reward = logits_to_scalar(reward_logits, networks.support_size)
-    value = logits_to_scalar(value_logits, networks.support_size)
+    reward = decode(reward_logits)
+    value = decode(value_logits)
     batch = action.shape[0]
     output = RecurrentFnOutput(
         reward=reward,

@@ -149,3 +149,36 @@ class TestOptimizers:
   def test_unknown_raises(self):
     with pytest.raises(ValueError):
       create_optimizer("nope")
+
+
+class TestCategoricalNetworks:
+  """acme-style linear two-hot heads flow through loss and inference."""
+
+  def test_loss_and_inference(self):
+    import jax, jax.numpy as jnp, numpy as np
+    from muax_tpu.models import make_categorical_mlp_networks
+    from muax_tpu.models.losses import muzero_loss
+    from muax_tpu.train.inference import make_root_fn, make_recurrent_fn
+    networks = make_categorical_mlp_networks(
+        2, embedding_dim=16, num_bins=51, vmin=-150, vmax=150,
+        layer_sizes=(32,))
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    batch = make_batch(jax.random.PRNGKey(1), B=4, L=3)
+    loss, metrics = muzero_loss(params, batch, networks)
+    assert np.isfinite(float(loss))
+    root = make_root_fn(networks)(params, jnp.zeros((2, 4)))
+    assert np.all(np.abs(np.asarray(root.value)) <= 150.0)
+    out, emb = make_recurrent_fn(networks, 0.99)(
+        params, None, jnp.zeros(2, jnp.int32), root.embedding)
+    assert np.all(np.abs(np.asarray(out.reward)) <= 150.0)
+
+  def test_fc_resnet(self):
+    import jax, jax.numpy as jnp, numpy as np
+    from muax_tpu.models import make_fc_resnet_networks
+    networks = make_fc_resnet_networks(4, embedding_dim=32, num_bins=11,
+                                       vmin=0, vmax=10, num_blocks=2)
+    params = networks.init_params(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 16)))
+    from muax_tpu.train.inference import make_root_fn
+    root = make_root_fn(networks)(params, jnp.zeros((2, 16)))
+    assert root.prior_logits.shape == (2, 4)
