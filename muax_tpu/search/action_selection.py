@@ -109,6 +109,62 @@ def gumbel_muzero_interior_action_selection(
   return jnp.argmax(to_argmax, axis=-1).astype(jnp.int32)
 
 
+def make_exploration_selection(
+    kind: str = "puct",
+    pb_c_init: float = 1.25,
+    pb_c_base: float = 19652.0,
+) -> ActionSelectionFn:
+  """The reference's selection-policy zoo over the batched tree.
+
+  Semantics parity with acme/tf/mcts/search.py:456-685 (flag
+  puct/pucb/ucb/ltr/pltr/pnltr/bfs in run_alphazero.py:292-304), expressed
+  on raw child Q values Q(a) = r + discount * V(child) (unvisited children
+  score Q=0 like the reference's fresh Node.value). Zero-prior (illegal)
+  actions are masked.
+  """
+
+  def fn(rng, tree, node_index, depth, sim):
+    del sim
+    visit_counts = tree.children_visits[node_index].astype(jnp.float32)
+    node_visit = jnp.maximum(
+        tree.node_visits[node_index].astype(jnp.float32), 1.0)
+    priors = jax.nn.softmax(tree.children_prior_logits[node_index], -1)
+    qvalues = jnp.where(visit_counts > 0, tree.qvalues(node_index), 0.0)
+    inv_n = 1.0 / (visit_counts + 1.0)
+    log_term = jnp.log(jnp.maximum(node_visit, 1.0) + 1e-8)
+
+    if kind == "bfs":
+      score = -visit_counts
+    elif kind == "puct":
+      pb_c = jnp.log((node_visit + pb_c_base + 1.0) / pb_c_base) + pb_c_init
+      score = qvalues + pb_c * priors * jnp.sqrt(node_visit) * inv_n
+    elif kind == "pucb":
+      score = qvalues + priors * jnp.sqrt(log_term * inv_n)
+    elif kind == "ucb":
+      score = qvalues + jnp.sqrt(log_term * inv_n)
+    elif kind == "ltr":
+      score = qvalues + jnp.sqrt(node_visit * log_term) * inv_n
+    elif kind == "pltr":
+      score = qvalues + priors * jnp.sqrt(node_visit * log_term) * inv_n
+    elif kind == "pnltr":
+      pb_c = jnp.sqrt(
+          jnp.log((node_visit + pb_c_base + 1.0) / pb_c_base) + pb_c_init)
+      score = qvalues + pb_c * priors * jnp.sqrt(
+          node_visit * log_term) * inv_n
+    else:
+      raise ValueError(f"unknown selection kind {kind!r}")
+
+    if kind != "bfs":
+      score = jnp.where(priors > 1e-9, score, -jnp.inf)
+    score = score + jax.random.uniform(rng, score.shape) * 1e-7
+    score = jnp.where(depth == 0,
+                      _mask_invalid(score, tree.root_invalid_actions),
+                      score)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+  return fn
+
+
 def switching_action_selection(
     root_fn: ActionSelectionFn,
     interior_fn: ActionSelectionFn,

@@ -31,10 +31,36 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
   through the noisy training policy, muax/test.py:5-48; this is a
   deliberate improvement).
   """
-  root_fn = make_root_fn(networks)
-  recurrent_fn = make_recurrent_fn(networks, discount)
   search = config.search
   dirichlet_fraction = 0.0 if eval_mode else search.dirichlet_fraction
+
+  if search.policy == "stochastic":
+    from muax_tpu.search import stochastic_muzero_policy
+    from muax_tpu.train.inference import make_smz_fns
+    smz_root_fn, decision_fn, chance_fn = make_smz_fns(networks, discount)
+
+    def policy_fn(params, rng, obs, temperature):
+      root = smz_root_fn(params, obs)
+      out = stochastic_muzero_policy(
+          params, rng, root,
+          decision_recurrent_fn=decision_fn,
+          chance_recurrent_fn=chance_fn,
+          num_simulations=search.num_simulations,
+          num_chance_outcomes=networks.num_chance_outcomes,
+          max_depth=search.max_depth,
+          dirichlet_fraction=dirichlet_fraction,
+          dirichlet_alpha=search.dirichlet_alpha,
+          pb_c_init=search.pb_c_init,
+          pb_c_base=search.pb_c_base,
+          temperature=temperature,
+          discount=discount)
+      return (out.action, out.action_weights,
+              out.search_tree.summary().value)
+
+    return policy_fn
+
+  root_fn = make_root_fn(networks)
+  recurrent_fn = make_recurrent_fn(networks, discount)
 
   def policy_fn(params: MZParams, rng: jax.Array, obs: jax.Array,
                 temperature):
@@ -57,8 +83,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           max_num_considered_actions=search.max_num_considered_actions,
           gumbel_scale=search.gumbel_scale)
     else:
-      raise ValueError(f"Unsupported policy {search.policy!r} in actor; "
-                       "stochastic uses agents.stochastic.")
+      raise ValueError(f"Unknown search policy {search.policy!r}")
     root_value = out.search_tree.summary().value
     return out.action, out.action_weights, root_value
 

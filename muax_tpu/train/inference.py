@@ -39,6 +39,52 @@ def make_root_fn(networks: MZNetworks):
   return root_fn
 
 
+def make_smz_fns(networks, discount: float):
+  """Root / decision / chance closures for a stochastic 5-network set
+  (acme/jax/stochastic_muzero/acting.py:80-130 semantics).
+
+  Returns (root_fn, decision_fn, chance_fn) suitable for
+  ``search.stochastic_muzero_policy``.
+  """
+  del discount  # applied by the policy on chance transitions
+
+  def root_fn(params, obs):
+    state = networks.representation.apply(params.representation, obs)
+    policy_logits, value_logits = networks.prediction.apply(
+        params.prediction, state)
+    return RootFnOutput(
+        prior_logits=policy_logits,
+        value=logits_to_scalar(value_logits, networks.support_size),
+        embedding=state)
+
+  def decision_fn(params, rng, action, state):
+    del rng
+    from muax_tpu.search.types import DecisionRecurrentFnOutput
+    afterstate, chance_logits, av_logits = networks.decision.apply(
+        params.decision, state, action)
+    out = DecisionRecurrentFnOutput(
+        chance_logits=chance_logits,
+        afterstate_value=logits_to_scalar(av_logits, networks.support_size))
+    return out, afterstate
+
+  def chance_fn(params, rng, outcome, afterstate):
+    del rng
+    from muax_tpu.search.types import ChanceRecurrentFnOutput
+    code = jax.nn.one_hot(outcome, networks.num_chance_outcomes,
+                          dtype=afterstate.dtype)
+    next_state, reward_logits = networks.chance.apply(
+        params.chance, afterstate, code)
+    policy_logits, value_logits = networks.prediction.apply(
+        params.prediction, next_state)
+    out = ChanceRecurrentFnOutput(
+        action_logits=policy_logits,
+        value=logits_to_scalar(value_logits, networks.support_size),
+        reward=logits_to_scalar(reward_logits, networks.support_size))
+    return out, next_state
+
+  return root_fn, decision_fn, chance_fn
+
+
 def make_recurrent_fn(networks: MZNetworks, discount: float):
   """Search-facing dynamics step: dyn -> pred on the post-transition state."""
   decode = _value_head_decoder(networks)

@@ -37,6 +37,7 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
   """Build update(train_state, replay_state, rng) ->
   (train_state, replay_state, metrics). One sampled batch, one grad step."""
   tcfg = config.train
+  is_stochastic = hasattr(networks, "chance")
 
   def update(train_state: TrainState, replay_state: ReplayState,
              rng: jax.Array):
@@ -44,6 +45,13 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
         replay_state, rng, tcfg.batch_size, tcfg.unroll_steps)
 
     def loss_fn(params):
+      if is_stochastic:
+        from muax_tpu.models.stochastic_losses import stochastic_muzero_loss
+        return stochastic_muzero_loss(
+            params, batch, networks,
+            l2_coef=tcfg.l2_coef,
+            gradient_scale=tcfg.gradient_scale,
+            priority_alpha=config.replay.priority_alpha)
       return muzero_loss(
           params, batch, networks,
           l2_coef=tcfg.l2_coef,

@@ -58,10 +58,21 @@ def make_az_policy_fn(game: Environment, network: AZNetwork,
                       num_simulations: int = 64,
                       dirichlet_fraction: float = 0.25,
                       dirichlet_alpha: float = 0.3,
-                      max_depth: Optional[int] = None):
+                      max_depth: Optional[int] = None,
+                      search_policy: Optional[str] = None):
   """(params, rng, batched game state, temperature) ->
-  (action, pi, root_value)."""
+  (action, pi, root_value).
+
+  ``search_policy`` selects an alternative in-tree selection rule from the
+  zoo (puct/pucb/ucb/ltr/pltr/pnltr/bfs — the reference's --search_policy
+  flag, run_alphazero.py:292-304); None keeps the MuZero PUCT with
+  normalized Q values.
+  """
   recurrent_fn = make_az_recurrent_fn(game, network)
+  selection_override = None
+  if search_policy is not None:
+    from muax_tpu.search.action_selection import make_exploration_selection
+    selection_override = make_exploration_selection(search_policy)
 
   def policy_fn(params: AZParams, rng, state, temperature):
     obs = jax.vmap(game.observation)(state)
@@ -70,6 +81,22 @@ def make_az_policy_fn(game: Environment, network: AZNetwork,
     root = RootFnOutput(
         prior_logits=jnp.where(legal > 0, policy_logits, _BIG_NEG),
         value=value, embedding=state)
+    if selection_override is not None:
+      from muax_tpu.search.core import search as run_search
+      from muax_tpu.search.policies import (_apply_temperature,
+                                            _get_logits_from_probs)
+      tree = run_search(
+          params, rng, root=root, recurrent_fn=recurrent_fn,
+          root_action_selection_fn=selection_override,
+          interior_action_selection_fn=selection_override,
+          num_simulations=num_simulations, max_depth=max_depth,
+          invalid_actions=1.0 - legal)
+      summary = tree.summary()
+      logits = _apply_temperature(
+          _get_logits_from_probs(summary.visit_probs), temperature)
+      action = jax.random.categorical(
+          jax.random.fold_in(rng, 1), logits).astype(jnp.int32)
+      return action, summary.visit_probs, summary.value
     out = muzero_policy(
         params, rng, root, recurrent_fn,
         num_simulations=num_simulations,
