@@ -18,6 +18,41 @@ from typing import Optional
 import numpy as np
 
 
+class StreamingSample:
+  """Reservoir sampler over a stream (parity: muax/wrappers.py:98-128) —
+  keeps a uniform random sample of the values seen so far in O(maxlen)."""
+
+  def __init__(self, maxlen: int, seed: int = 0):
+    self.maxlen = maxlen
+    self._rng = np.random.RandomState(seed)
+    self._sample: list = []
+    self._count = 0
+
+  def reset(self):
+    self._sample = []
+    self._count = 0
+
+  def append(self, value):
+    self._count += 1
+    if len(self._sample) < self.maxlen:
+      self._sample.append(value)
+    else:
+      j = self._rng.randint(self._count)
+      if j < self.maxlen:
+        self._sample[j] = value
+
+  def extend(self, values):
+    for v in values:
+      self.append(v)
+
+  @property
+  def values(self) -> list:
+    return list(self._sample)
+
+  def __len__(self):
+    return len(self._sample)
+
+
 class TrainMonitor:
   """Accumulates training counters/metrics and optionally writes
   tensorboard scalars. Metric names match the reference (`ep`, `T`, `G`,
