@@ -1,8 +1,12 @@
-"""In-tree action selection rules (per batch element, used under vmap).
+"""In-tree action selection rules (batch-native).
 
-Selection fn signature: ``fn(rng, tree, node_index, depth, sim) -> action``
-where ``sim`` is the simulation index (needed by the sequential-halving root
-rule). Capability parity: PUCT with pb_c 1.25/19652 (reference defaults at
+Selection fn signature: ``fn(rng, tree, node_index [B], depth, sim) ->
+action [B]`` where ``depth`` is the (scalar) level of the lockstep descent
+front and ``sim`` is the simulation index (needed by the sequential-halving
+root rule). Node rows are fetched with the masked one-hot gathers from
+``tree.py`` — XLA:TPU serializes per-row dynamic gathers.
+
+Capability parity: PUCT with pb_c 1.25/19652 (reference defaults at
 muax/policy.py:17-30) and the Gumbel root/interior rules the reference gets
 from mctx (muax/policy.py:33-47).
 """
@@ -15,15 +19,28 @@ import jax
 import jax.numpy as jnp
 
 from muax_tpu.search import qtransforms
-from muax_tpu.search.tree import ROOT_INDEX, Tree
+from muax_tpu.search.tree import (
+    ROOT_INDEX,
+    Tree,
+    batch_gather,
+    qvalues_at,
+)
 
-# fn(rng, tree, node_index, depth, sim) -> action (all per-element)
+# fn(rng, tree, node_index [B], depth, sim) -> action [B]
 ActionSelectionFn = Callable[[jax.Array, Tree, jax.Array, jax.Array,
                               jax.Array], jax.Array]
 
 
 def _mask_invalid(logits: jax.Array, invalid: jax.Array) -> jax.Array:
   return jnp.where(invalid > 0, -jnp.inf, logits)
+
+
+def _mask_root_invalid(score: jax.Array, tree: Tree,
+                       depth: jax.Array) -> jax.Array:
+  """Invalid actions are only known (and only matter) at the root."""
+  return jnp.where(depth == 0, _mask_invalid(score,
+                                             tree.root_invalid_actions),
+                   score)
 
 
 def muzero_action_selection(
@@ -39,21 +56,21 @@ def muzero_action_selection(
 ) -> jax.Array:
   """PUCT: argmax_a [ Q(a) + P(a) * sqrt(N) / (1 + n(a)) * pb_c ]."""
   del sim
-  visit_counts = tree.children_visits[node_index].astype(jnp.float32)
-  node_visit = tree.node_visits[node_index].astype(jnp.float32)
+  visit_counts = batch_gather(tree.children_visits,
+                              node_index).astype(jnp.float32)
+  node_visit = batch_gather(tree.node_visits,
+                            node_index).astype(jnp.float32)     # [B]
   pb_c = pb_c_init + jnp.log((node_visit + pb_c_base + 1.0) / pb_c_base)
-  prior_probs = jax.nn.softmax(tree.children_prior_logits[node_index], -1)
-  policy_score = jnp.sqrt(node_visit) * pb_c * prior_probs / (
+  prior_probs = jax.nn.softmax(
+      batch_gather(tree.children_prior_logits, node_index), -1)
+  policy_score = (jnp.sqrt(node_visit) * pb_c)[:, None] * prior_probs / (
       visit_counts + 1.0)
   value_score = qtransform(tree, node_index)
   # Tiny uniform noise breaks ties between equal scores without perturbing
   # the ordering of distinct ones.
   noise = jax.random.uniform(rng, policy_score.shape) * 1e-7
-  to_argmax = value_score + policy_score + noise
-  # Invalid actions are only known (and only matter) at the root.
-  to_argmax = jnp.where(depth == 0,
-                        _mask_invalid(to_argmax, tree.root_invalid_actions),
-                        to_argmax)
+  to_argmax = _mask_root_invalid(value_score + policy_score + noise, tree,
+                                 depth)
   return jnp.argmax(to_argmax, axis=-1).astype(jnp.int32)
 
 
@@ -71,14 +88,15 @@ def gumbel_muzero_root_action_selection(
   """Sequential halving: among considered actions whose visit count equals the
   scheduled count, argmax of g + logits + sigma(q-hat)."""
   del rng, depth
-  visit_counts = tree.children_visits[node_index]
-  prior_logits = tree.children_prior_logits[node_index]
+  visit_counts = batch_gather(tree.children_visits, node_index)
+  prior_logits = batch_gather(tree.children_prior_logits, node_index)
   completed_q = qtransform(tree, node_index)
   gumbel = tree.extra_data.root_gumbel
-  num_valid = jnp.sum(1 - tree.root_invalid_actions, axis=-1).astype(jnp.int32)
-  num_considered = jnp.minimum(max_num_considered_actions, num_valid)
-  considered_visit = table[num_considered, sim]
-  score = jnp.where(visit_counts == considered_visit,
+  num_valid = jnp.sum(1 - tree.root_invalid_actions,
+                      axis=-1).astype(jnp.int32)
+  num_considered = jnp.minimum(max_num_considered_actions, num_valid)  # [B]
+  considered_visit = jnp.take(table[:, sim], num_considered)           # [B]
+  score = jnp.where(visit_counts == considered_visit[:, None],
                     gumbel + prior_logits + completed_q,
                     -jnp.inf)
   score = _mask_invalid(score, tree.root_invalid_actions)
@@ -99,13 +117,14 @@ def gumbel_muzero_interior_action_selection(
   Drives empirical visit proportions toward the improved policy
   softmax(logits + sigma(q-hat)) (Gumbel MuZero paper, sec. 5).
   """
-  del rng, sim
-  visit_counts = tree.children_visits[node_index].astype(jnp.float32)
-  prior_logits = tree.children_prior_logits[node_index]
+  del rng, depth, sim
+  visit_counts = batch_gather(tree.children_visits,
+                              node_index).astype(jnp.float32)
+  prior_logits = batch_gather(tree.children_prior_logits, node_index)
   completed_q = qtransform(tree, node_index)
   probs = jax.nn.softmax(prior_logits + completed_q, -1)
   to_argmax = probs - visit_counts / (
-      1.0 + jnp.sum(visit_counts, axis=-1, keepdims=False))
+      1.0 + jnp.sum(visit_counts, axis=-1, keepdims=True))
   return jnp.argmax(to_argmax, axis=-1).astype(jnp.int32)
 
 
@@ -125,13 +144,16 @@ def make_exploration_selection(
 
   def fn(rng, tree, node_index, depth, sim):
     del sim
-    visit_counts = tree.children_visits[node_index].astype(jnp.float32)
+    visit_counts = batch_gather(tree.children_visits,
+                                node_index).astype(jnp.float32)
     node_visit = jnp.maximum(
-        tree.node_visits[node_index].astype(jnp.float32), 1.0)
-    priors = jax.nn.softmax(tree.children_prior_logits[node_index], -1)
-    qvalues = jnp.where(visit_counts > 0, tree.qvalues(node_index), 0.0)
+        batch_gather(tree.node_visits, node_index).astype(jnp.float32),
+        1.0)[:, None]                                            # [B, 1]
+    priors = jax.nn.softmax(
+        batch_gather(tree.children_prior_logits, node_index), -1)
+    qvalues = jnp.where(visit_counts > 0, qvalues_at(tree, node_index), 0.0)
     inv_n = 1.0 / (visit_counts + 1.0)
-    log_term = jnp.log(jnp.maximum(node_visit, 1.0) + 1e-8)
+    log_term = jnp.log(node_visit + 1e-8)
 
     if kind == "bfs":
       score = -visit_counts
@@ -157,10 +179,8 @@ def make_exploration_selection(
     if kind != "bfs":
       score = jnp.where(priors > 1e-9, score, -jnp.inf)
     score = score + jax.random.uniform(rng, score.shape) * 1e-7
-    score = jnp.where(depth == 0,
-                      _mask_invalid(score, tree.root_invalid_actions),
-                      score)
-    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+    return jnp.argmax(_mask_root_invalid(score, tree, depth),
+                      axis=-1).astype(jnp.int32)
 
   return fn
 
@@ -169,7 +189,10 @@ def switching_action_selection(
     root_fn: ActionSelectionFn,
     interior_fn: ActionSelectionFn,
 ) -> ActionSelectionFn:
-  """Dispatch on depth: root rule at depth 0, interior rule below."""
+  """Dispatch on depth: root rule at depth 0, interior rule below.
+
+  ``depth`` is the scalar level of the lockstep descent, so this is one
+  un-batched cond per tree level."""
 
   def fn(rng, tree, node_index, depth, sim):
     return jax.lax.cond(

@@ -2,8 +2,13 @@
 
 One XLA program searches B independent trees in lockstep; the network
 (``recurrent_fn``) is evaluated once per simulation on the whole batch, which
-is what keeps the MXU busy. Per-element tree walking (simulate / backward) is
-vmapped ``while_loop``s over the array tree.
+is what keeps the MXU busy. The tree walks (simulate / backward) are
+*batch-native* ``while_loop``s whose bodies are one-hot masked vector ops
+over the ``[B, N, ...]`` arrays (see ``tree.batch_gather``/``batch_scatter``)
+— XLA:TPU serializes per-row dynamic gathers/scatters, so the masked
+formulation is ~50x faster at B>=1024. All elements advance one tree level
+per loop iteration; elements that reached a leaf are frozen by masks until
+the deepest walker finishes.
 
 This is the composable core the policies in ``policies.py`` build on — the
 seam the reference relies on mctx for (SURVEY.md §2i native-dependency
@@ -21,17 +26,27 @@ import jax.numpy as jnp
 from muax_tpu.search import tree as tree_lib
 from muax_tpu.search.action_selection import ActionSelectionFn
 from muax_tpu.search.types import RecurrentFn, RootFnOutput
-from muax_tpu.search.tree import ROOT_INDEX, UNVISITED, Tree
+from muax_tpu.search.tree import (
+    ROOT_INDEX,
+    UNVISITED,
+    Tree,
+    batch_gather,
+    batch_gather2,
+    batch_scatter_add,
+    batch_scatter_add2,
+    batch_scatter_set,
+    batch_scatter_set2,
+)
 
 
 @struct.dataclass
 class _SimulationState:
   rng: jax.Array
-  node_index: jax.Array    # parent of the action taken
-  action: jax.Array
-  next_node_index: jax.Array
-  depth: jax.Array
-  is_continuing: jax.Array
+  node_index: jax.Array       # [B] parent of the action taken
+  action: jax.Array           # [B]
+  next_node_index: jax.Array  # [B]
+  depth: jax.Array            # scalar level counter (lockstep descent)
+  is_continuing: jax.Array    # [B]
 
 
 def simulate(
@@ -42,37 +57,42 @@ def simulate(
     sim: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
   """Descend every tree from its root until hitting an unexpanded child (or
-  the depth cap). Returns (parent_index [B], action [B])."""
+  the depth cap). Returns (parent_index [B], action [B]).
 
-  def simulate_one(rng_, tree_):
-    def cond(s: _SimulationState):
-      return s.is_continuing
-
-    def body(s: _SimulationState):
-      rng_, select_rng = jax.random.split(s.rng)
-      node = s.next_node_index
-      action = action_selection_fn(select_rng, tree_, node, s.depth, sim)
-      child = tree_.children_index[node, action]
-      depth = s.depth + 1
-      return _SimulationState(
-          rng=rng_, node_index=node, action=action, next_node_index=child,
-          depth=depth,
-          is_continuing=jnp.logical_and(child != UNVISITED,
-                                        depth < max_depth))
-
-    init = _SimulationState(
-        rng=rng_,
-        node_index=jnp.asarray(tree_lib.NO_PARENT, jnp.int32),
-        action=jnp.asarray(tree_lib.NO_PARENT, jnp.int32),
-        next_node_index=jnp.asarray(ROOT_INDEX, jnp.int32),
-        depth=jnp.asarray(0, jnp.int32),
-        is_continuing=jnp.asarray(True))
-    end = jax.lax.while_loop(cond, body, init)
-    return end.node_index, end.action
-
+  All batch elements walk in lockstep, one level per loop iteration; the
+  walk front's depth is therefore a single scalar, and finished elements
+  are frozen with ``where`` masks.
+  """
   batch_size = tree.node_visits.shape[0]
-  rngs = jax.random.split(rng, batch_size)
-  return jax.vmap(simulate_one)(rngs, tree)
+
+  def cond(s: _SimulationState):
+    return jnp.any(s.is_continuing)
+
+  def body(s: _SimulationState):
+    rng_, select_rng = jax.random.split(s.rng)
+    action = action_selection_fn(select_rng, tree, s.next_node_index,
+                                 s.depth, sim)
+    child = batch_gather2(tree.children_index, s.next_node_index, action)
+    cont = s.is_continuing
+    new_node = jnp.where(cont, s.next_node_index, s.node_index)
+    new_action = jnp.where(cont, action, s.action)
+    new_next = jnp.where(cont, child, s.next_node_index)
+    depth = s.depth + 1
+    return _SimulationState(
+        rng=rng_, node_index=new_node, action=new_action,
+        next_node_index=new_next, depth=depth,
+        is_continuing=jnp.logical_and(
+            cont, jnp.logical_and(new_next != UNVISITED, depth < max_depth)))
+
+  init = _SimulationState(
+      rng=rng,
+      node_index=jnp.full((batch_size,), tree_lib.NO_PARENT, jnp.int32),
+      action=jnp.full((batch_size,), tree_lib.NO_PARENT, jnp.int32),
+      next_node_index=jnp.full((batch_size,), ROOT_INDEX, jnp.int32),
+      depth=jnp.asarray(0, jnp.int32),
+      is_continuing=jnp.ones((batch_size,), jnp.bool_))
+  end = jax.lax.while_loop(cond, body, init)
+  return end.node_index, end.action
 
 
 def expand(
@@ -85,23 +105,23 @@ def expand(
     next_node_index: jax.Array,
 ) -> Tree:
   """Evaluate the model once on the whole batch and install the new nodes."""
-  batch_range = jnp.arange(parent_index.shape[0])
   embedding = jax.tree.map(
-      lambda x: x[batch_range, parent_index], tree.embeddings)
+      lambda x: batch_gather(x, parent_index), tree.embeddings)
   step, next_embedding = recurrent_fn(params, rng, action, embedding)
 
   tree = update_tree_node(tree, next_node_index, step.prior_logits,
                           step.value, next_embedding)
   return tree.replace(
-      parents=tree.parents.at[batch_range, next_node_index].set(parent_index),
-      action_from_parent=tree.action_from_parent
-      .at[batch_range, next_node_index].set(action),
-      children_index=tree.children_index
-      .at[batch_range, parent_index, action].set(next_node_index),
-      children_rewards=tree.children_rewards
-      .at[batch_range, parent_index, action].set(step.reward),
-      children_discounts=tree.children_discounts
-      .at[batch_range, parent_index, action].set(step.discount),
+      parents=batch_scatter_set(tree.parents, next_node_index, parent_index),
+      action_from_parent=batch_scatter_set(tree.action_from_parent,
+                                           next_node_index, action),
+      children_index=batch_scatter_set2(tree.children_index, parent_index,
+                                        action, next_node_index),
+      children_rewards=batch_scatter_set2(tree.children_rewards, parent_index,
+                                          action, step.reward),
+      children_discounts=batch_scatter_set2(tree.children_discounts,
+                                            parent_index, action,
+                                            step.discount),
   )
 
 
@@ -109,56 +129,63 @@ def update_tree_node(tree: Tree, node_index: jax.Array,
                      prior_logits: jax.Array, value: jax.Array,
                      embedding: Any) -> Tree:
   """Batched node (re)initialization with running-mean value blending."""
-  batch_range = jnp.arange(node_index.shape[0])
-  count = tree.node_visits[batch_range, node_index].astype(value.dtype)
-  new_value = (tree.node_values[batch_range, node_index] * count + value) / (
-      count + 1.0)
+  count = batch_gather(tree.node_visits, node_index).astype(value.dtype)
+  old_value = batch_gather(tree.node_values, node_index)
+  new_value = (old_value * count + value) / (count + 1.0)
   embeddings = jax.tree.map(
-      lambda full, e: full.at[batch_range, node_index].set(e),
+      lambda full, e: batch_scatter_set(full, node_index, e),
       tree.embeddings, embedding)
   return tree.replace(
-      node_visits=tree.node_visits.at[batch_range, node_index].add(1),
-      node_values=tree.node_values.at[batch_range, node_index].set(new_value),
-      node_raw_values=tree.node_raw_values
-      .at[batch_range, node_index].set(value),
-      children_prior_logits=tree.children_prior_logits
-      .at[batch_range, node_index].set(prior_logits),
+      node_visits=batch_scatter_add(tree.node_visits, node_index, 1),
+      node_values=batch_scatter_set(tree.node_values, node_index, new_value),
+      node_raw_values=batch_scatter_set(tree.node_raw_values, node_index,
+                                        value),
+      children_prior_logits=batch_scatter_set(tree.children_prior_logits,
+                                              node_index, prior_logits),
       embeddings=embeddings,
   )
 
 
 def backward(tree: Tree, leaf_index: jax.Array) -> Tree:
-  """Propagate the new leaf value to the root along parent pointers."""
+  """Propagate the new leaf values to the roots along parent pointers.
 
-  def backward_one(tree_, leaf):
-    def cond(state):
-      _, _, index = state
-      return index != ROOT_INDEX
+  Batch-native: every element climbs one edge per loop iteration; elements
+  whose walker already reached the root are masked out.
+  """
 
-    def body(state):
-      t, leaf_value, index = state
-      parent = t.parents[index]
-      action = t.action_from_parent[index]
-      count = t.node_visits[parent].astype(leaf_value.dtype)
-      reward = t.children_rewards[parent, action]
-      leaf_value = reward + t.children_discounts[parent, action] * leaf_value
-      parent_value = (t.node_values[parent] * count + leaf_value) / (
-          count + 1.0)
-      t = t.replace(
-          node_values=t.node_values.at[parent].set(parent_value),
-          node_visits=t.node_visits.at[parent].add(1),
-          children_values=t.children_values
-          .at[parent, action].set(t.node_values[index]),
-          children_visits=t.children_visits.at[parent, action].add(1),
-      )
-      return t, leaf_value, parent
+  def cond(state):
+    _, _, index = state
+    return jnp.any(index != ROOT_INDEX)
 
-    leaf_value = tree_.node_values[leaf]
-    out_tree, _, _ = jax.lax.while_loop(
-        cond, body, (tree_, leaf_value, leaf))
-    return out_tree
+  def body(state):
+    t, leaf_value, index = state
+    active = index != ROOT_INDEX
+    parent = batch_gather(t.parents, index)
+    action = batch_gather(t.action_from_parent, index)
+    count = batch_gather(t.node_visits, parent).astype(leaf_value.dtype)
+    reward = batch_gather2(t.children_rewards, parent, action)
+    discount = batch_gather2(t.children_discounts, parent, action)
+    new_leaf_value = reward + discount * leaf_value
+    parent_value = (batch_gather(t.node_values, parent) * count
+                    + new_leaf_value) / (count + 1.0)
+    child_value = batch_gather(t.node_values, index)
+    t = t.replace(
+        node_values=batch_scatter_set(t.node_values, parent, parent_value,
+                                      active=active),
+        node_visits=batch_scatter_add(t.node_visits, parent, 1,
+                                      active=active),
+        children_values=batch_scatter_set2(t.children_values, parent, action,
+                                           child_value, active=active),
+        children_visits=batch_scatter_add2(t.children_visits, parent, action,
+                                           1, active=active),
+    )
+    leaf_value = jnp.where(active, new_leaf_value, leaf_value)
+    index = jnp.where(active, parent, index)
+    return t, leaf_value, index
 
-  return jax.vmap(backward_one)(tree, leaf_index)
+  leaf_value = batch_gather(tree.node_values, leaf_index)
+  tree, _, _ = jax.lax.while_loop(cond, body, (tree, leaf_value, leaf_index))
+  return tree
 
 
 def search(
@@ -189,9 +216,7 @@ def search(
 
   from muax_tpu.search.action_selection import switching_action_selection
   if root_action_selection_fn is interior_action_selection_fn:
-    # One rule for all depths (MuZero PUCT handles the root mask itself):
-    # dropping the batched cond avoids evaluating both branches per
-    # descent step under vmap.
+    # One rule for all depths (MuZero PUCT handles the root mask itself).
     action_selection_fn = root_action_selection_fn
   else:
     action_selection_fn = switching_action_selection(
@@ -207,8 +232,8 @@ def search(
                                     max_depth, sim)
     # Slot for this simulation's node; if the depth cap stopped the descent at
     # an already-expanded child, reuse (and re-evaluate) that node.
-    batch_range = jnp.arange(batch_size)
-    next_node_index = tree_.children_index[batch_range, parent_index, action]
+    next_node_index = batch_gather2(tree_.children_index, parent_index,
+                                    action)
     next_node_index = jnp.where(next_node_index == UNVISITED, sim + 1,
                                 next_node_index)
     tree_ = expand(params, expand_rng, tree_, recurrent_fn, parent_index,

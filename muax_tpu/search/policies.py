@@ -155,7 +155,9 @@ def gumbel_muzero_policy(
   # Final action: among actions at the most-advanced schedule stage (max
   # visit count), argmax of g + logits + sigma(q-hat).
   summary = tree.summary()
-  completed_q = jax.vmap(lambda t: qtransform(t, ROOT_INDEX))(tree)
+  batch_size = root.prior_logits.shape[0]
+  completed_q = qtransform(tree,
+                           jnp.full((batch_size,), ROOT_INDEX, jnp.int32))
   considered_visit = jnp.max(summary.visit_counts, axis=-1, keepdims=True)
   score = jnp.where(summary.visit_counts == considered_visit,
                     gumbel + root.prior_logits + completed_q, -jnp.inf)
@@ -225,27 +227,34 @@ def _stochastic_interior_selection(rng, tree, node_index, depth, sim, *,
                                    num_actions, pb_c_init, pb_c_base,
                                    qtransform):
   """Decision nodes: PUCT over decision slots. Chance nodes: visit
-  proportions track the chance prior (argmax p(o) - n(o)/(1+N))."""
-  num_total = tree.num_actions
-  is_dec = tree.embeddings.is_decision_node[node_index]
-  slot = jnp.arange(num_total)
-  valid_slots = jnp.where(is_dec, slot < num_actions, slot >= num_actions)
+  proportions track the chance prior (argmax p(o) - n(o)/(1+N)).
 
-  puct = selection_lib.muzero_action_selection  # reuse scoring via recompute
-  visit_counts = tree.children_visits[node_index].astype(jnp.float32)
-  node_visit = tree.node_visits[node_index].astype(jnp.float32)
+  Batch-native: node_index is [B]; returns [B] slots."""
+  from muax_tpu.search.tree import batch_gather
+  num_total = tree.num_actions
+  is_dec = batch_gather(tree.embeddings.is_decision_node,
+                        node_index)                               # [B]
+  slot = jnp.arange(num_total)
+  valid_slots = jnp.where(is_dec[:, None], slot[None] < num_actions,
+                          slot[None] >= num_actions)              # [B, A']
+
+  visit_counts = batch_gather(tree.children_visits,
+                              node_index).astype(jnp.float32)
+  node_visit = batch_gather(tree.node_visits,
+                            node_index).astype(jnp.float32)       # [B]
   pb_c = pb_c_init + jnp.log((node_visit + pb_c_base + 1.0) / pb_c_base)
-  prior_probs = jax.nn.softmax(tree.children_prior_logits[node_index], -1)
-  policy_score = jnp.sqrt(node_visit) * pb_c * prior_probs / (
+  prior_probs = jax.nn.softmax(
+      batch_gather(tree.children_prior_logits, node_index), -1)
+  policy_score = (jnp.sqrt(node_visit) * pb_c)[:, None] * prior_probs / (
       visit_counts + 1.0)
   value_score = qtransform(tree, node_index)
   noise = jax.random.uniform(rng, policy_score.shape) * 1e-7
   decision_score = value_score + policy_score + noise
 
   chance_score = prior_probs - visit_counts / (
-      1.0 + jnp.sum(visit_counts, axis=-1))
+      1.0 + jnp.sum(visit_counts, axis=-1, keepdims=True))
 
-  score = jnp.where(is_dec, decision_score, chance_score)
+  score = jnp.where(is_dec[:, None], decision_score, chance_score)
   score = jnp.where(valid_slots, score, -jnp.inf)
   score = jnp.where(depth == 0,
                     jnp.where(tree.root_invalid_actions > 0, -jnp.inf, score),
