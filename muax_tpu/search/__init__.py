@@ -15,6 +15,14 @@ from muax_tpu.search.policies import (
     gumbel_muzero_policy,
     stochastic_muzero_policy,
 )
+from muax_tpu.search.sampled_policy import (
+    ContinuousRecurrentFnOutput,
+    SampledPolicyOutput,
+    SampledRecurrentState,
+    make_factored_bin_sample_fn,
+    make_gaussian_sample_fn,
+    sampled_muzero_policy,
+)
 from muax_tpu.search import qtransforms
 from muax_tpu.search import seq_halving
 from muax_tpu.search import action_selection
