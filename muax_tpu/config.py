@@ -20,6 +20,10 @@ class SearchConfig:
   max_num_considered_actions: int = 16  # gumbel
   gumbel_scale: float = 1.0             # gumbel
   num_chance_outcomes: int = 32         # stochastic codebook size
+  # Use the fused Pallas search kernel (search/fused.py) when the network
+  # family supports it (MLP triplet + muzero policy, on a TPU backend);
+  # falls back to the generic XLA engine otherwise.
+  fused: bool = True
 
 
 @dataclasses.dataclass

@@ -1,0 +1,526 @@
+"""Fused MCTS: the entire MuZero search as ONE Pallas TPU kernel.
+
+Why: the generic XLA search (``search/core.py``) walks the tree with
+``while_loop``s whose bodies are masked vector ops over ``[B, N, A]`` HBM
+arrays — every tree level round-trips the whole forest through HBM
+(~5 MB/level at B=1024, sims=64), so a converged (path-like) tree costs
+~15 GB of HBM traffic per environment step and the search runs at ~20-25%
+of the VPU's speed. This kernel keeps the *entire forest in VMEM* for all
+``num_simulations`` simulations: descent, the MLP dynamics/prediction
+evaluation (MXU), expansion, and backup never touch HBM until the root
+summary is written out.
+
+Scope: the flagship MLP network family (``models/networks.make_mlp_networks``)
+with the MuZero PUCT policy and the ``qtransform_by_parent_and_siblings``
+Q-normalization — the exact semantics of ``policies.muzero_policy`` (which
+itself matches the reference's MuZeroPolicy defaults, muax/policy.py:13-30).
+Other network families / policies fall back to the generic XLA engine; the
+dispatch lives in ``train/actor.py``.
+
+Semantics deltas vs the XLA engine (documented, test-checked):
+  * tie-breaking in PUCT argmax is deterministic (first max) instead of
+    uniform-noise randomized — identical once any child has been visited;
+  * ELU is computed as ``where(x>0, x, exp(x)-1)`` (Pallas has no expm1);
+    bit-identical in f32 for all practical inputs.
+
+Forest layout per batch-tile of T rows (all VMEM scratch, f32/i32):
+  node arrays   [T, NP]       NP = pad(num_simulations+1, 128)
+  child arrays  [T, NP*A]     column n*A+a = stats of edge (node n, action a)
+  embeddings    [E, T, NP]    one plane per embedding feature
+
+Per-row node addressing uses one-hot masked vector ops (TPU has no per-row
+dynamic gather); in VMEM these run at VPU speed and cost no HBM bandwidth.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+_H_EPS = 1e-3  # value-transform epsilon (ops/support.py)
+
+
+class FusedMLPWeights(NamedTuple):
+  """Flat weight views for the MLP triplet's dynamic+prediction nets.
+
+  Biases are reshaped to [1, out] (SMEM/VMEM want >=2D).
+  """
+  dyn_hidden: tuple  # ((W, b), ...) first W has in_dim = E + A
+  dyn_reward: tuple  # (W [H, 2S+1], b)
+  dyn_state: tuple   # (W [H, E], b)
+  pred_hidden: tuple
+  pred_value: tuple  # (W [H, 2S+1], b)
+  pred_policy: tuple  # (W [H, A], b)
+
+
+def _sorted_linears(module_params) -> Optional[list]:
+  """hk.Linear params in creation order ('linear', 'linear_1', ...)."""
+  try:
+    items = dict(module_params)
+  except TypeError:
+    return None
+  out = []
+  for key in items:
+    if key == "linear":
+      idx = 0
+    elif key.startswith("linear_"):
+      try:
+        idx = int(key.split("_", 1)[1])
+      except ValueError:
+        return None
+    else:
+      return None
+    layer = items[key]
+    if "w" not in layer or "b" not in layer:
+      return None
+    out.append((idx, layer["w"], layer["b"]))
+  out.sort(key=lambda t: t[0])
+  return [(w, jnp.reshape(b, (1, -1))) for _, w, b in out]
+
+
+def extract_fused_weights(networks, params) -> Optional[FusedMLPWeights]:
+  """Pull flat MLP weights out of haiku params; None if the structure is not
+  the plain dense triplet (then the caller falls back to the XLA engine)."""
+  num_actions = getattr(networks, "num_actions", None)
+  support_size = getattr(networks, "support_size", None)
+  if num_actions is None or support_size is None:
+    return None
+  full_support = 2 * support_size + 1
+
+  dyn = _sorted_linears(params.dynamic)
+  pred = _sorted_linears(params.prediction)
+  if not dyn or not pred or len(dyn) < 3 or len(pred) < 3:
+    return None
+
+  # dynamic: hidden..., reward head (out 2S+1), next-state head (out E)
+  *d_hidden, d_reward, d_state = dyn
+  # prediction: hidden..., value head (out 2S+1), policy head (out A)
+  *p_hidden, p_value, p_policy = pred
+  embedding_dim = d_state[0].shape[1]
+  checks = (
+      d_reward[0].shape[1] == full_support
+      and p_value[0].shape[1] == full_support
+      and p_policy[0].shape[1] == num_actions
+      and dyn[0][0].shape[0] == embedding_dim + num_actions
+      and pred[0][0].shape[0] == embedding_dim
+      and all(w.ndim == 2 for w, _ in dyn + pred)
+  )
+  if not checks:
+    return None
+  return FusedMLPWeights(
+      dyn_hidden=tuple(d_hidden), dyn_reward=d_reward, dyn_state=d_state,
+      pred_hidden=tuple(p_hidden), pred_value=p_value, pred_policy=p_policy)
+
+
+def _elu(x):
+  return jnp.where(x > 0, x, jnp.exp(x) - 1.0)
+
+
+def _inv_value_transform(x):
+  """h^-1 (ops/support.py:26-34)."""
+  eps = _H_EPS
+  return jnp.sign(x) * (
+      jnp.square(
+          (jnp.sqrt(4.0 * eps * (jnp.abs(x) + 1.0 + eps) + 1.0) - 1.0)
+          / (2.0 * eps))
+      - 1.0)
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m
+
+
+def _pick_tile(batch: int, bytes_per_row: int,
+               budget: int = 3 * 1024 * 1024) -> int:
+  """Largest tile fitting the VMEM budget, balanced so grid steps divide the
+  batch as evenly as possible (minimizes padded rows)."""
+  tmax = max(8, min(batch, budget // max(bytes_per_row, 1)))
+  grid = -(-batch // tmax)
+  return _round_up(-(-batch // grid), 8)
+
+
+def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
+                 num_hidden_dyn: int, num_hidden_pred: int,
+                 num_simulations: int, max_depth: int, discount: float,
+                 pb_c_init: float, pb_c_base: float, support_size: int):
+  """Build the kernel body. Weight refs arrive flattened in the order of
+  FusedMLPWeights; see fused_muzero_search for the call layout."""
+  CP = NP * A
+  N = num_simulations + 1
+
+  def kernel(*refs):
+    (root_emb_ref, root_logits_ref, root_value_ref, invalid_ref) = refs[:4]
+    wrefs = refs[4:4 + 2 * (num_hidden_dyn + num_hidden_pred + 4)]
+    out_visits_ref, out_value_ref, out_q_ref = refs[
+        4 + len(wrefs):7 + len(wrefs)]
+    (nvis_ref, nval_ref, nraw_ref, npar_ref, nact_ref,
+     cidx_ref, cpri_ref, cvis_ref, crew_ref, cval_ref,
+     emb_ref) = refs[7 + len(wrefs):]
+
+    def wpair(i):
+      return wrefs[2 * i][:], wrefs[2 * i + 1][:]
+    dyn_hidden = [wpair(i) for i in range(num_hidden_dyn)]
+    dyn_reward = wpair(num_hidden_dyn)
+    dyn_state = wpair(num_hidden_dyn + 1)
+    pred_hidden = [wpair(num_hidden_dyn + 2 + i)
+                   for i in range(num_hidden_pred)]
+    pred_value = wpair(num_hidden_dyn + 2 + num_hidden_pred)
+    pred_policy = wpair(num_hidden_dyn + 3 + num_hidden_pred)
+
+    # All per-row scalars (node indices, actions, masks) are kept as f32
+    # [T, 1] vectors: Mosaic freely lane-replicates reduced f32 vectors for
+    # broadcasting, but not i32/i1 ones ("Invalid relayout" otherwise).
+    # Indices <= num_nodes are exact in f32.
+    ncol = jax.lax.broadcasted_iota(jnp.int32, (T, NP), 1).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, CP), 1).astype(jnp.float32)
+    col_n = jnp.floor(col / A)
+    invalid_cp = jnp.tile(invalid_ref[:], (1, NP))  # col -> invalid[col % A]
+
+    # ---- forest init (scratch persists across grid steps: assign fully) ----
+    root_col = ncol == 0.0
+    rv = root_value_ref[:]  # [T, 1]
+    nvis_ref[:] = jnp.where(root_col, 1.0, 0.0)
+    nval_ref[:] = jnp.where(root_col, rv, 0.0)
+    nraw_ref[:] = jnp.where(root_col, rv, 0.0)
+    npar_ref[:] = jnp.full((T, NP), -1.0, jnp.float32)
+    nact_ref[:] = jnp.full((T, NP), -1.0, jnp.float32)
+    cidx_ref[:] = jnp.full((T, CP), -1.0, jnp.float32)
+    logits = root_logits_ref[:]
+    probs = jax.nn.softmax(logits, axis=-1)
+    cpri_ref[:] = jnp.where(col_n == 0.0, jnp.tile(probs, (1, NP)), 0.0)
+    cvis_ref[:] = jnp.zeros((T, CP), jnp.float32)
+    crew_ref[:] = jnp.zeros((T, CP), jnp.float32)
+    cval_ref[:] = jnp.zeros((T, CP), jnp.float32)
+    for e in range(E):
+      emb_ref[e] = jnp.where(root_col, root_emb_ref[:, e:e + 1], 0.0)
+
+    def gather_np(ref, oh):
+      return jnp.sum(jnp.where(oh, ref[:], 0.0), axis=-1, keepdims=True)
+
+    # [T, 1] zero with the layout of a cross-lane reduction: while-loop
+    # carries must be layout-consistent with the reduce-produced updates in
+    # the loop body (Mosaic cannot relayout {0,*} -> replicated), so every
+    # carry is initialized from this rather than from a constant.
+    zero_r = jnp.sum(invalid_ref[:] * 0.0, axis=-1, keepdims=True)
+
+    def decode_support(logits_):
+      p = jax.nn.softmax(logits_, axis=-1)
+      bins = (jax.lax.broadcasted_iota(jnp.int32, (T, S41), 1)
+              .astype(jnp.float32) - float(support_size))
+      return _inv_value_transform(
+          jnp.sum(p * bins, axis=-1, keepdims=True))  # [T, 1]
+
+    # ---------------------------- simulation loop -------------------------
+    def sim_body(s, _):
+      # -- descent: lockstep PUCT walk until an unexpanded child ----------
+      def d_cond(c):
+        return jnp.any(c[4] > 0.0)
+
+      def d_body(c):
+        cur, parent, act, depth, active = c
+        node_oh = ncol == cur
+        nvisit = gather_np(nvis_ref, node_oh)   # [T, 1]
+        nvalue = gather_np(nval_ref, node_oh)
+        colmask = col_n == cur
+        cvis = cvis_ref[:]
+        q = crew_ref[:] + discount * cval_ref[:]
+        visited = cvis > 0.0
+        safe_q = jnp.where(visited, q, nvalue)
+        minq = jnp.min(jnp.where(colmask, safe_q, _NEG * -1.0), axis=-1,
+                       keepdims=True)
+        maxq = jnp.max(jnp.where(colmask, safe_q, _NEG), axis=-1,
+                       keepdims=True)
+        minv = jnp.minimum(nvalue, minq)
+        maxv = jnp.maximum(nvalue, maxq)
+        completed = jnp.where(visited, q, minv)
+        qn = (completed - minv) / jnp.maximum(maxv - minv, 1e-8)
+        pb_c = pb_c_init + jnp.log((nvisit + pb_c_base + 1.0) / pb_c_base)
+        policy_score = (jnp.sqrt(nvisit) * pb_c) * cpri_ref[:] / (cvis + 1.0)
+        score = qn + policy_score
+        score = jnp.where(
+            jnp.logical_and(depth == 0, invalid_cp > 0.0), _NEG, score)
+        score = jnp.where(colmask, score, _NEG)
+        # argmax as max + lowest matching column (ties -> first, like argmax)
+        m = jnp.max(score, axis=-1, keepdims=True)
+        best = jnp.min(jnp.where(score >= m, col, 3e7), axis=-1,
+                       keepdims=True)                    # [T, 1] f32
+        a = best - jnp.floor(best / A) * A
+        child = jnp.sum(jnp.where(col == best, cidx_ref[:], 0.0), axis=-1,
+                        keepdims=True)
+        on = active > 0.0
+        parent = jnp.where(on, cur, parent)
+        act = jnp.where(on, a, act)
+        cur = jnp.where(on, child, cur)
+        depth = depth + 1
+        still = jnp.where(depth < max_depth, 1.0, 0.0)
+        active = active * jnp.where(child == -1.0, 0.0, 1.0) * still
+        return cur, parent, act, depth, active
+
+      cur, parent, act, _, _ = jax.lax.while_loop(
+          d_cond, d_body,
+          (zero_r, zero_r - 1.0, zero_r - 1.0, jnp.asarray(0, jnp.int32),
+           zero_r + 1.0))
+
+      # slot: fresh node s+1 unless the depth cap stopped on an existing
+      # child (then re-evaluate that node; core.search body semantics)
+      edge = parent * A + act
+      edge_mask = col == edge
+      existing = jnp.sum(jnp.where(edge_mask, cidx_ref[:], 0.0), axis=-1,
+                         keepdims=True)
+      slot = jnp.where(existing < 0.0, (s + 1).astype(jnp.float32),
+                       existing)  # [T, 1]
+
+      # -- expand: MLP dynamics + prediction on the MXU -------------------
+      parent_oh = ncol == parent
+      emb_cols = [jnp.sum(jnp.where(parent_oh, emb_ref[e], 0.0),
+                          axis=-1, keepdims=True) for e in range(E)]
+      emb = jnp.concatenate(emb_cols, axis=1)  # [T, E]
+      a_oh = (jax.lax.broadcasted_iota(jnp.int32, (T, A), 1)
+              .astype(jnp.float32) == act).astype(jnp.float32)
+      w0, b0 = dyn_hidden[0]
+      h = (jnp.dot(emb, w0[:E], preferred_element_type=jnp.float32)
+           + jnp.dot(a_oh, w0[E:], preferred_element_type=jnp.float32) + b0)
+      h = _elu(h)
+      for w, b in dyn_hidden[1:]:
+        h = _elu(jnp.dot(h, w, preferred_element_type=jnp.float32) + b)
+      reward = decode_support(
+          jnp.dot(h, dyn_reward[0], preferred_element_type=jnp.float32)
+          + dyn_reward[1])
+      ns = (jnp.dot(h, dyn_state[0], preferred_element_type=jnp.float32)
+            + dyn_state[1])
+      ns_min = jnp.min(ns, axis=-1, keepdims=True)
+      ns_max = jnp.max(ns, axis=-1, keepdims=True)
+      ns = (ns - ns_min) / jnp.maximum(ns_max - ns_min, 1e-8)
+      g = ns
+      for w, b in pred_hidden:
+        g = _elu(jnp.dot(g, w, preferred_element_type=jnp.float32) + b)
+      value = decode_support(
+          jnp.dot(g, pred_value[0], preferred_element_type=jnp.float32)
+          + pred_value[1])
+      pol = (jnp.dot(g, pred_policy[0], preferred_element_type=jnp.float32)
+             + pred_policy[1])
+      pol = jax.nn.softmax(pol, axis=-1)  # prior probs [T, A]
+
+      # -- install the node (update_tree_node semantics: running-mean) ----
+      slot_oh = ncol == slot
+      count = gather_np(nvis_ref, slot_oh)
+      oldv = gather_np(nval_ref, slot_oh)
+      blended = (oldv * count + value) / (count + 1.0)
+      nvis_ref[:] = nvis_ref[:] + jnp.where(slot_oh, 1.0, 0.0)
+      nval_ref[:] = jnp.where(slot_oh, blended, nval_ref[:])
+      nraw_ref[:] = jnp.where(slot_oh, value, nraw_ref[:])
+      npar_ref[:] = jnp.where(slot_oh, parent, npar_ref[:])
+      nact_ref[:] = jnp.where(slot_oh, act, nact_ref[:])
+      slot_cols = col_n == slot
+      cpri_ref[:] = jnp.where(slot_cols, jnp.tile(pol, (1, NP)), cpri_ref[:])
+      crew_ref[:] = jnp.where(edge_mask, reward, crew_ref[:])
+      cidx_ref[:] = jnp.where(edge_mask, slot, cidx_ref[:])
+      for e in range(E):
+        emb_ref[e] = jnp.where(slot_oh, ns[:, e:e + 1], emb_ref[e])
+
+      # -- backup along parent pointers ------------------------------------
+      def b_cond(c):
+        return jnp.any(c[0] != 0.0)
+
+      def b_body(c):
+        idx, v = c
+        activeb = jnp.where(idx != 0.0, 1.0, 0.0)   # [T, 1] f32
+        idx_oh = ncol == idx
+        par = jnp.sum(jnp.where(idx_oh, npar_ref[:], 0.0), axis=-1,
+                      keepdims=True)
+        a_b = jnp.sum(jnp.where(idx_oh, nact_ref[:], 0.0), axis=-1,
+                      keepdims=True)
+        par_oh = ncol == par
+        cnt = gather_np(nvis_ref, par_oh)
+        em = col == (par * A + a_b)
+        r = jnp.sum(jnp.where(em, crew_ref[:], 0.0), axis=-1, keepdims=True)
+        vnew = r + discount * v
+        pval = (gather_np(nval_ref, par_oh) * cnt + vnew) / (cnt + 1.0)
+        child_val = gather_np(nval_ref, idx_oh)
+        wm_np = jnp.where(par_oh, activeb, 0.0) > 0.0
+        nval_ref[:] = jnp.where(wm_np, pval, nval_ref[:])
+        nvis_ref[:] = nvis_ref[:] + jnp.where(wm_np, 1.0, 0.0)
+        wm_cp = jnp.where(em, activeb, 0.0) > 0.0
+        cval_ref[:] = jnp.where(wm_cp, child_val, cval_ref[:])
+        cvis_ref[:] = cvis_ref[:] + jnp.where(wm_cp, 1.0, 0.0)
+        on = activeb > 0.0
+        v = jnp.where(on, vnew, v)
+        idx = jnp.where(on, par, idx)
+        return idx, v
+
+      jax.lax.while_loop(b_cond, b_body, (slot, value))
+      return 0
+
+    jax.lax.fori_loop(0, num_simulations, sim_body, 0)
+
+    # ---- root summary ----------------------------------------------------
+    cvis = cvis_ref[:]
+    out_visits_ref[:] = cvis[:, :A]
+    out_value_ref[:] = nval_ref[:, :1]
+    out_q_ref[:] = crew_ref[:, :A] + discount * cval_ref[:, :A]
+
+  return kernel
+
+
+def fused_muzero_search(
+    root_embedding: jax.Array,      # [B, E]
+    root_prior_logits: jax.Array,   # [B, A] (noise/masking already applied)
+    root_value: jax.Array,          # [B]
+    weights: FusedMLPWeights,
+    *,
+    num_simulations: int,
+    support_size: int,
+    discount: float,
+    invalid_actions: Optional[jax.Array] = None,
+    max_depth: Optional[int] = None,
+    pb_c_init: float = 1.25,
+    pb_c_base: float = 19652.0,
+    batch_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+  """Run the fused search. Returns (visit_counts [B, A] f32, root_value [B],
+  root_qvalues [B, A]) — the SearchSummary fields the policies consume."""
+  B, E = root_embedding.shape
+  A = root_prior_logits.shape[-1]
+  S41 = 2 * support_size + 1
+  N = num_simulations + 1
+  NP = _round_up(N, 128)
+  CP = NP * A
+  if max_depth is None:
+    max_depth = num_simulations
+  if invalid_actions is None:
+    invalid_actions = jnp.zeros((B, A), jnp.float32)
+  if interpret is None:
+    interpret = jax.default_backend() == "cpu"
+
+  bytes_per_row = 4 * (5 * NP + 5 * CP + E * NP)
+  T = batch_tile or _pick_tile(B, bytes_per_row)
+  G = -(-B // T)  # grid steps
+  BP = G * T
+  if BP != B:
+    pad = BP - B
+
+    def pad0(x):
+      return jnp.concatenate(
+          [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+    root_embedding = pad0(root_embedding)
+    root_prior_logits = pad0(root_prior_logits)
+    root_value = pad0(root_value)
+    invalid_actions = pad0(invalid_actions)
+
+  num_hidden_dyn = len(weights.dyn_hidden)
+  num_hidden_pred = len(weights.pred_hidden)
+  wlist = []
+  for pair in (list(weights.dyn_hidden)
+               + [weights.dyn_reward, weights.dyn_state]
+               + list(weights.pred_hidden)
+               + [weights.pred_value, weights.pred_policy]):
+    wlist.extend([pair[0].astype(jnp.float32), pair[1].astype(jnp.float32)])
+
+  kernel = _make_kernel(
+      T=T, NP=NP, A=A, E=E, S41=S41,
+      num_hidden_dyn=num_hidden_dyn, num_hidden_pred=num_hidden_pred,
+      num_simulations=num_simulations, max_depth=max_depth,
+      discount=discount, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
+      support_size=support_size)
+
+  def row_spec(cols):
+    return pl.BlockSpec((T, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+  def const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+  in_specs = [row_spec(E), row_spec(A), row_spec(1), row_spec(A)]
+  in_specs += [const_spec(w.shape) for w in wlist]
+
+  visits, value, qvalues = pl.pallas_call(
+      kernel,
+      grid=(G,),
+      in_specs=in_specs,
+      out_specs=(row_spec(A), row_spec(1), row_spec(A)),
+      out_shape=(
+          jax.ShapeDtypeStruct((BP, A), jnp.float32),
+          jax.ShapeDtypeStruct((BP, 1), jnp.float32),
+          jax.ShapeDtypeStruct((BP, A), jnp.float32),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      scratch_shapes=[
+          pltpu.VMEM((T, NP), jnp.float32),   # node visits
+          pltpu.VMEM((T, NP), jnp.float32),   # node values
+          pltpu.VMEM((T, NP), jnp.float32),   # node raw values
+          pltpu.VMEM((T, NP), jnp.float32),   # parents (f32 indices — exact)
+          pltpu.VMEM((T, NP), jnp.float32),   # action from parent
+          pltpu.VMEM((T, CP), jnp.float32),   # children index
+          pltpu.VMEM((T, CP), jnp.float32),   # children prior probs
+          pltpu.VMEM((T, CP), jnp.float32),   # children visits
+          pltpu.VMEM((T, CP), jnp.float32),   # children rewards
+          pltpu.VMEM((T, CP), jnp.float32),   # children values
+          pltpu.VMEM((E, T, NP), jnp.float32),  # embeddings (per-feature)
+      ],
+      interpret=interpret,
+  )(root_embedding.astype(jnp.float32),
+    root_prior_logits.astype(jnp.float32),
+    root_value.astype(jnp.float32)[:, None],
+    invalid_actions.astype(jnp.float32),
+    *wlist)
+
+  return visits[:B], value[:B, 0], qvalues[:B]
+
+
+def fused_mlp_muzero_policy(
+    params: Any,
+    rng: jax.Array,
+    root,                      # RootFnOutput from make_root_fn
+    weights: FusedMLPWeights,
+    *,
+    num_simulations: int,
+    support_size: int,
+    discount: float,
+    invalid_actions: Optional[jax.Array] = None,
+    max_depth: Optional[int] = None,
+    dirichlet_fraction: float = 0.25,
+    dirichlet_alpha: float = 0.3,
+    pb_c_init: float = 1.25,
+    pb_c_base: float = 19652.0,
+    temperature=1.0,
+):
+  """Drop-in for ``policies.muzero_policy`` on the fused path.
+
+  Same RNG split layout and root noising as muzero_policy; returns
+  (action [B] i32, action_weights [B, A], root_value [B]).
+  """
+  del params
+  from muax_tpu.search.policies import (_add_dirichlet_noise,
+                                        _apply_temperature,
+                                        _get_logits_from_probs,
+                                        _mask_invalid)
+  rng, noise_rng, _search_rng, sample_rng = jax.random.split(rng, 4)
+  probs = jax.nn.softmax(root.prior_logits, axis=-1)
+  probs = _add_dirichlet_noise(noise_rng, probs, fraction=dirichlet_fraction,
+                               alpha=dirichlet_alpha)
+  noised_logits = _get_logits_from_probs(probs)
+  noised_logits = _mask_invalid(noised_logits, invalid_actions)
+
+  visit_counts, root_value, _ = fused_muzero_search(
+      root.embedding, noised_logits, root.value, weights,
+      num_simulations=num_simulations, support_size=support_size,
+      discount=discount, invalid_actions=invalid_actions,
+      max_depth=max_depth, pb_c_init=pb_c_init, pb_c_base=pb_c_base)
+
+  total = jnp.sum(visit_counts, axis=-1, keepdims=True)
+  action_weights = jnp.where(
+      total > 0, visit_counts / jnp.maximum(total, 1.0),
+      1.0 / visit_counts.shape[-1])
+  action_logits = _apply_temperature(
+      _get_logits_from_probs(action_weights), temperature)
+  action = jax.random.categorical(sample_rng, action_logits).astype(jnp.int32)
+  return action, action_weights, root_value

@@ -62,9 +62,36 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
   root_fn = make_root_fn(networks)
   recurrent_fn = make_recurrent_fn(networks, discount)
 
+  # The fused Pallas kernel covers the flagship path: MuZero PUCT over the
+  # plain MLP triplet with the integer-support heads. It is compiled on TPU
+  # backends and interpreted on CPU, so the sharded CPU dry-run keeps using
+  # the generic XLA engine (same semantics, test-checked parity).
+  def _maybe_fused_weights(params):
+    if (search.policy != "muzero" or not getattr(search, "fused", False)
+        or jax.default_backend() == "cpu"
+        or not hasattr(networks, "support_size")):
+      return None
+    from muax_tpu.search.fused import extract_fused_weights
+    return extract_fused_weights(networks, params)
+
   def policy_fn(params: MZParams, rng: jax.Array, obs: jax.Array,
                 temperature):
     root = root_fn(params, obs)
+    fused_weights = (_maybe_fused_weights(params)
+                     if search.policy == "muzero" else None)
+    if fused_weights is not None:
+      from muax_tpu.search.fused import fused_mlp_muzero_policy
+      return fused_mlp_muzero_policy(
+          params, rng, root, fused_weights,
+          num_simulations=search.num_simulations,
+          support_size=networks.support_size,
+          discount=discount,
+          max_depth=search.max_depth,
+          dirichlet_fraction=dirichlet_fraction,
+          dirichlet_alpha=search.dirichlet_alpha,
+          pb_c_init=search.pb_c_init,
+          pb_c_base=search.pb_c_base,
+          temperature=temperature)
     if search.policy == "muzero":
       out = muzero_policy(
           params, rng, root, recurrent_fn,

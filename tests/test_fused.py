@@ -1,0 +1,94 @@
+"""Fused Pallas search kernel vs the generic XLA engine (interpret mode).
+
+The kernel must reproduce ``policies.muzero_policy`` semantics (PUCT with
+qtransform_by_parent_and_siblings, running-mean backups, depth-cap
+re-evaluation). On CPU the kernel runs in Pallas interpret mode; the real-TPU
+compiled path is exercised by bench.py and the driver's entry check.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muax_tpu.models import make_mlp_networks
+from muax_tpu.search import muzero_policy
+from muax_tpu.search.fused import (
+    extract_fused_weights,
+    fused_mlp_muzero_policy,
+    fused_muzero_search,
+)
+from muax_tpu.train.inference import make_recurrent_fn, make_root_fn
+
+
+def _setup(num_actions=3, obs_dim=5, support=10, batch=4, **net_kwargs):
+  networks = make_mlp_networks(num_actions=num_actions, embedding_dim=8,
+                               support_size=support, **net_kwargs)
+  params = networks.init_params(jax.random.PRNGKey(0),
+                                jnp.zeros((1, obs_dim)))
+  obs = jax.random.normal(jax.random.PRNGKey(1), (batch, obs_dim))
+  root = make_root_fn(networks)(params, obs)
+  return networks, params, root
+
+
+@pytest.mark.parametrize("net_kwargs", [{}, {"pred_layers": (16, 16),
+                                             "dyn_layers": (16, 16)}])
+def test_fused_matches_xla_search(net_kwargs):
+  networks, params, root = _setup(**net_kwargs)
+  num_simulations = 24
+  discount = 0.97
+
+  # XLA reference: muzero_policy without root noise (tie-break noise only).
+  out = muzero_policy(params, jax.random.PRNGKey(2), root,
+                      make_recurrent_fn(networks, discount),
+                      num_simulations=num_simulations,
+                      dirichlet_fraction=0.0, temperature=1.0)
+  ref_summary = out.search_tree.summary()
+
+  weights = extract_fused_weights(networks, params)
+  assert weights is not None
+  visits, value, qvalues = fused_muzero_search(
+      root.embedding, root.prior_logits, root.value, weights,
+      num_simulations=num_simulations,
+      support_size=networks.support_size, discount=discount)
+
+  np.testing.assert_allclose(np.sum(visits, -1),
+                             num_simulations * np.ones(visits.shape[0]))
+  # Tie-breaking differs (deterministic vs randomized 1e-7 noise): allow a
+  # couple of swapped visits, but the shape of the search must agree.
+  assert np.abs(visits - np.asarray(ref_summary.visit_counts)).max() <= 2
+  np.testing.assert_allclose(value, np.asarray(ref_summary.value),
+                             rtol=1e-3, atol=1e-3)
+  assert visits.shape == (4, 3) and qvalues.shape == (4, 3)
+
+
+def test_fused_policy_output():
+  networks, params, root = _setup()
+  weights = extract_fused_weights(networks, params)
+  action, action_weights, value = fused_mlp_muzero_policy(
+      params, jax.random.PRNGKey(3), root, weights,
+      num_simulations=16, support_size=networks.support_size,
+      discount=0.99, temperature=1.0)
+  assert action.shape == (4,) and action.dtype == jnp.int32
+  np.testing.assert_allclose(np.sum(action_weights, -1), 1.0, rtol=1e-5)
+  assert np.all(np.asarray(action) >= 0) and np.all(np.asarray(action) < 3)
+  assert np.isfinite(np.asarray(value)).all()
+
+
+def test_fused_depth_cap_and_invalid_actions():
+  networks, params, root = _setup(num_actions=4)
+  weights = extract_fused_weights(networks, params)
+  invalid = jnp.zeros((4, 4)).at[:, 2].set(1.0)
+  visits, value, _ = fused_muzero_search(
+      root.embedding,
+      jnp.where(invalid > 0, -1e9, root.prior_logits),
+      root.value, weights,
+      num_simulations=12, support_size=networks.support_size,
+      discount=0.99, invalid_actions=invalid, max_depth=2)
+  np.testing.assert_allclose(np.sum(visits, -1), 12.0)
+  assert np.all(np.asarray(visits[:, 2]) == 0.0)
+
+
+def test_extract_rejects_foreign_structure():
+  networks, params, _ = _setup()
+  bad = params._replace(dynamic={"conv": {"w": jnp.zeros((3, 3))}})
+  assert extract_fused_weights(networks, bad) is None
