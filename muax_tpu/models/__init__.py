@@ -21,3 +21,17 @@ from muax_tpu.models.stochastic_networks import (
 )
 from muax_tpu.models.stochastic_losses import stochastic_muzero_loss
 from muax_tpu.models.az_networks import AZNetwork, make_az_mlp, make_az_resnet
+from muax_tpu.models.env_model import (
+    EnvModel,
+    ModelSearchParams,
+    env_model_loss,
+    make_mlp_transition_model,
+    make_model_policy_fn,
+    make_model_recurrent_fn,
+    make_model_update_fn,
+    make_simulator_policy_fn,
+    make_simulator_recurrent_fn,
+    model_replay_add,
+    model_replay_init,
+    model_replay_sample,
+)
