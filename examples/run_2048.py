@@ -27,6 +27,9 @@ def main(_):
   from muax_tpu.train.fit import fit
 
   pool = Native2048Pool(num_envs=FLAGS.num_envs, seed=FLAGS.seed)
+  # Dedicated eval pool: greedy eval must not step the training boards.
+  eval_pool = Native2048Pool(num_envs=min(16, FLAGS.num_envs),
+                             seed=FLAGS.seed + 10_000)
   config = MuZeroConfig(
       search=SearchConfig(policy=FLAGS.policy,
                           num_simulations=FLAGS.num_simulations),
@@ -48,7 +51,7 @@ def main(_):
   state, results = fit(pool, networks, config, optimizer,
                        num_iterations=FLAGS.num_iterations, seed=FLAGS.seed,
                        eval_every=25, log_every=10,
-                       model_dir="models/2048")
+                       model_dir="models/2048", eval_env=eval_pool)
   print("best mean score:", results["best_reward"])
 
 

@@ -24,12 +24,15 @@ def main(_):
   from muax_tpu.models import make_mlp_networks, muzero_optimizer
   from muax_tpu.train.fit import fit
 
-  try:
-    pool = GymVectorPool("LunarLander-v3", num_envs=FLAGS.num_envs,
-                         seed=FLAGS.seed)
-  except Exception:  # older gymnasium naming
-    pool = GymVectorPool("LunarLander-v2", num_envs=FLAGS.num_envs,
-                         seed=FLAGS.seed)
+  def make_pool(num_envs, seed):
+    try:
+      return GymVectorPool("LunarLander-v3", num_envs=num_envs, seed=seed)
+    except Exception:  # older gymnasium naming
+      return GymVectorPool("LunarLander-v2", num_envs=num_envs, seed=seed)
+
+  pool = make_pool(FLAGS.num_envs, FLAGS.seed)
+  # Dedicated eval pool: greedy eval must not step the training envs.
+  eval_pool = make_pool(min(8, FLAGS.num_envs), FLAGS.seed + 10_000)
 
   config = MuZeroConfig(
       search=SearchConfig(policy="gumbel",
@@ -49,7 +52,8 @@ def main(_):
   state, results = fit(pool, networks, config, optimizer,
                        num_iterations=FLAGS.num_iterations, seed=FLAGS.seed,
                        eval_every=25, log_every=10,
-                       model_dir="models/lunarlander", target_reward=200.0)
+                       model_dir="models/lunarlander", target_reward=200.0,
+                       eval_env=eval_pool)
   print("best test_G:", results["best_reward"])
 
 

@@ -32,6 +32,12 @@ class ReplayConfig:
   segment_length: int = 20
   min_fill: int = 128             # segments before learning starts
   priority_alpha: float = 0.5     # PNStep alpha (episode_tracer.py:197-249)
+  # Offline/online mix (acme/jax/muzero/config.py:61-66): fraction of each
+  # learner batch drawn by priority over the whole ring; the remainder is
+  # drawn uniformly from the `online_queue_size` newest segments (the FIFO
+  # online-queue analog). 1.0 = pure PER (reference standalone behavior).
+  offline_fraction: float = 1.0
+  online_queue_size: int = 1024
 
 
 @dataclasses.dataclass
@@ -50,6 +56,12 @@ class TrainConfig:
   gradient_scale: float = 0.5      # hidden-state grad scaling in unroll
   # Temperature schedule (train.py:16-23): fractions of total steps.
   temperature_schedule: tuple = ((0.5, 1.0), (0.75, 0.5), (1.0, 0.25))
+  # Samples-per-insert rate gate (Reverb SampleToInsertRatio,
+  # acme/jax/muzero/config.py:63-66 + builder.py:128-187): caps sampled
+  # windows at `samples_per_insert * inserted_steps * (1 + tolerance)`.
+  # None disables the gate (every iteration runs updates_per_iteration).
+  samples_per_insert: Optional[float] = None
+  spi_tolerance: float = 0.1
 
 
 @dataclasses.dataclass

@@ -60,6 +60,17 @@ class AutoResetWrapper:
     self.env = env
     self.spec = env.spec
 
+  def legal_action_mask(self, carry: "AutoResetState"):
+    """[B, A] float mask (1=legal) for the CURRENT obs, or None.
+
+    Envs advertise legality by defining ``legal_actions(state)`` (e.g.
+    TicTacToe); the rollout turns this into ``invalid_actions`` for the
+    search (the reference reads legals from OpenSpielNode,
+    acme/tf/mcts/search.py:321-356)."""
+    if hasattr(self.env, "legal_actions"):
+      return jax.vmap(self.env.legal_actions)(carry.env_state)
+    return None
+
   def reset(self, rng: jax.Array, batch_size: int) -> AutoResetState:
     rngs = jax.random.split(rng, batch_size)
     state, obs = jax.vmap(self.env.reset)(rngs)

@@ -101,6 +101,11 @@ class Native2048Pool:
             done.astype(bool), mask)
 
   # -- device-facing API ---------------------------------------------------
+  def legal_action_mask(self, carry: AutoResetState):
+    """The pool carries the C++-computed [B, 4] legal mask device-side in
+    ``env_state``; the rollout feeds it to the search as invalid_actions."""
+    return carry.env_state
+
   def reset(self, rng: jax.Array, batch_size: int) -> AutoResetState:
     del rng
     if batch_size != self.num_envs:

@@ -71,15 +71,23 @@ def make_mlp_transition_model(num_actions: int,
 
   def network(obs, action):
     flat = hk.Flatten()(obs.astype(jnp.float32))
-    h = jnp.concatenate(
+    inputs = jnp.concatenate(
         [flat, jax.nn.one_hot(action, num_actions)], axis=-1)
-    for size in hidden:
-      h = jax.nn.relu(hk.Linear(size)(h))
-    next_flat = hk.Linear(obs_size)(h)
+
+    # Each head gets its own independent hidden stack, matching the
+    # reference's three separate MLPs (mlp.py:48-59) — no gradient coupling
+    # through a shared trunk.
+    def tower(name, out_size):
+      h = inputs
+      for i, size in enumerate(hidden):
+        h = jax.nn.relu(hk.Linear(size, name=f"{name}_h{i}")(h))
+      return hk.Linear(out_size, name=f"{name}_out")(h)
+
+    next_flat = tower("obs", obs_size)
     if residual:
       next_flat = next_flat + flat
-    reward = hk.Linear(1)(h)[..., 0]
-    continue_logit = hk.Linear(1)(h)[..., 0]
+    reward = tower("reward", 1)[..., 0]
+    continue_logit = tower("continue", 1)[..., 0]
     next_obs = next_flat.reshape(obs.shape[:1] + tuple(observation_shape))
     return next_obs, reward, continue_logit
 
@@ -121,7 +129,14 @@ def model_replay_init(capacity: int, observation_shape: Tuple[int, ...],
 
 def model_replay_add(state: ModelReplayState, obs, action, reward, next_obs,
                      done) -> ModelReplayState:
-  """Insert K transitions (leading axis K) at the ring cursor."""
+  """Insert K transitions (leading axis K) at the ring cursor.
+
+  K > capacity would create duplicate scatter indices (unspecified winner in
+  XLA); keep only the newest ``capacity`` rows so 'last K survive' holds.
+  """
+  if action.shape[0] > state.capacity:
+    obs, action, reward, next_obs, done = jax.tree.map(
+        lambda x: x[-state.capacity:], (obs, action, reward, next_obs, done))
   k = action.shape[0]
   idx = (state.cursor + jnp.arange(k)) % state.capacity
   return state.replace(
@@ -179,9 +194,15 @@ def make_model_update_fn(model: EnvModel, optimizer: optax.GradientTransformatio
     batch = model_replay_sample(replay_state, rng, batch_size)
     (loss, metrics), grads = jax.value_and_grad(
         env_model_loss, has_aux=True)(params, model, *batch)
+    # Underfilled ring: an update before `batch_size` real transitions exist
+    # would train on zero-initialized slots — zero the step instead (the
+    # reference's `if self._replay.size >= self._batch_size` gate,
+    # mlp.py:196).
+    ready = (replay_state.size >= batch_size).astype(jnp.float32)
+    grads = jax.tree.map(lambda g: g * ready, grads)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    metrics = dict(metrics, model_loss=loss)
+    metrics = dict(metrics, model_loss=loss * ready)
     return (params, opt_state, replay_state), metrics
 
   def update(params, opt_state, replay_state: ModelReplayState,
@@ -208,7 +229,7 @@ class ModelSearchParams(NamedTuple):
 
 def make_model_recurrent_fn(model: EnvModel, network,
                             discount: float = 1.0,
-                            terminal_tol: float = 0.5):
+                            terminal_tol: float = 0.1):
   """Search dynamics = the learned model; embeddings are observations.
 
   Parity: MLPModel.step + needs_reset (mlp.py:139-219) driving the tree
@@ -257,7 +278,7 @@ def make_simulator_recurrent_fn(env: Environment, network,
 def make_model_policy_fn(model: EnvModel, network,
                          num_simulations: int = 64,
                          discount: float = 1.0,
-                         terminal_tol: float = 0.5,
+                         terminal_tol: float = 0.1,
                          dirichlet_fraction: float = 0.25,
                          dirichlet_alpha: float = 0.3,
                          max_depth: Optional[int] = None):

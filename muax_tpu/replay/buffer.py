@@ -99,17 +99,28 @@ def _window_validity_mask(done: jax.Array) -> jax.Array:
   return (before == 0).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("batch_size", "k_steps"))
+@functools.partial(jax.jit, static_argnames=(
+    "batch_size", "k_steps", "offline_fraction", "online_queue_size"))
 def replay_sample(state: ReplayState, rng: jax.Array, batch_size: int,
-                  k_steps: int) -> tuple[Transition, jax.Array, jax.Array]:
+                  k_steps: int, offline_fraction: float = 1.0,
+                  online_queue_size: int = 0,
+                  ) -> tuple[Transition, jax.Array, jax.Array]:
   """Two-level weighted sample of [batch_size, k_steps] windows.
+
+  ``offline_fraction`` < 1 reproduces the reference's two-table mix
+  (acme/jax/muzero/config.py:61-66, builder.py:189-230: PER table blended
+  with a FIFO online queue at dataset time): the first
+  ``round(batch_size * offline_fraction)`` rows are drawn by priority over
+  the whole ring, the rest uniformly from the ``online_queue_size`` most
+  recently written segments (the FIFO queue is the tail of the ring — no
+  second storage needed on device).
 
   Returns (batch, segment_indices, window_starts) — the indices let the
   learner refresh priorities in place afterwards.
   """
   C, L = state.capacity, state.segment_length
   num_starts = L - k_steps + 1
-  seg_rng, win_rng = jax.random.split(rng)
+  seg_rng, win_rng, online_rng = jax.random.split(rng, 3)
 
   # Level 1: segment by aggregate priority, masked to filled slots.
   filled = jnp.arange(C) < state.size
@@ -118,6 +129,16 @@ def replay_sample(state: ReplayState, rng: jax.Array, batch_size: int,
       jnp.log(jnp.sum(state.step_priorities, axis=1) + 1e-9),
       -jnp.inf)
   seg_idx = jax.random.categorical(seg_rng, seg_logits, shape=(batch_size,))
+
+  num_online = batch_size - int(round(batch_size * offline_fraction))
+  if num_online > 0 and online_queue_size > 0:
+    # Uniform over the newest min(online_queue_size, size) slots, counting
+    # back from the write cursor (ring tail = FIFO queue contents).
+    window = jnp.minimum(online_queue_size, state.size)
+    offsets = jax.random.randint(online_rng, (num_online,), 1,
+                                 jnp.maximum(window, 1) + 1)
+    online_idx = (state.cursor - offsets) % C
+    seg_idx = seg_idx.at[batch_size - num_online:].set(online_idx)
 
   # Level 2: window start by the priority of the start step.
   start_prios = state.step_priorities[seg_idx, :num_starts]  # [B, num_starts]

@@ -144,8 +144,10 @@ class TrajectoryReplayBuffer:
   """Ring of finalized trajectories with two-level weighted sampling
   (muax/replay_buffer.py:154-240 semantics, numpy implementation)."""
 
-  def __init__(self, capacity: int = 500, seed: int = 0):
+  def __init__(self, capacity: int = 500, seed: int = 0,
+               window_alpha: float = 0.5):
     self.capacity = capacity
+    self.window_alpha = window_alpha
     self._trajectories: Deque[Transition] = collections.deque(
         maxlen=capacity)
     self._weights: Deque[float] = collections.deque(maxlen=capacity)
@@ -174,10 +176,18 @@ class TrajectoryReplayBuffer:
     for tid in traj_ids:
       traj = self._trajectories[tid]
       T = traj.action.shape[1]
-      # Window-level weights: per-step PER weight if stored, else uniform.
       starts_max = max(T - k_steps, 0)
+      # Within-trajectory WEIGHTED window starts (the reference's second
+      # sampling level, muax/replay_buffer.py:73-110): start t drawn with
+      # probability ∝ |v_t - Rn_t|^alpha, uniform when priorities vanish.
+      step_prio = np.abs(
+          np.asarray(traj.value)[0, :starts_max + 1]
+          - np.asarray(traj.rn)[0, :starts_max + 1]) ** self.window_alpha
+      total = step_prio.sum()
+      start_probs = (step_prio / total if total > 0
+                     else np.full(starts_max + 1, 1.0 / (starts_max + 1)))
       for _ in range(sample_per_trajectory):
-        start = self._rng.randint(0, starts_max + 1)
+        start = self._rng.choice(starts_max + 1, p=start_probs)
         end = start + k_steps
         sliced = {}
         for name in ("obs", "action", "reward", "done", "rn", "value",

@@ -24,7 +24,8 @@ from muax_tpu.types import Transition
 
 def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
                    discount: float, eval_mode: bool = False):
-  """(params, rng, obs, temperature) -> (action, pi, root_value).
+  """(params, rng, obs, temperature, invalid_actions=None) ->
+  (action, pi, root_value).
 
   ``eval_mode`` disables the Dirichlet exploration noise on the root prior —
   greedy evaluation should not randomize its root (the reference evaluates
@@ -39,7 +40,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
     from muax_tpu.train.inference import make_smz_fns
     smz_root_fn, decision_fn, chance_fn = make_smz_fns(networks, discount)
 
-    def policy_fn(params, rng, obs, temperature):
+    def policy_fn(params, rng, obs, temperature, invalid_actions=None):
       root = smz_root_fn(params, obs)
       out = stochastic_muzero_policy(
           params, rng, root,
@@ -48,6 +49,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           num_simulations=search.num_simulations,
           num_chance_outcomes=networks.num_chance_outcomes,
           max_depth=search.max_depth,
+          invalid_actions=invalid_actions,
           dirichlet_fraction=dirichlet_fraction,
           dirichlet_alpha=search.dirichlet_alpha,
           pb_c_init=search.pb_c_init,
@@ -75,7 +77,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
     return extract_fused_weights(networks, params)
 
   def policy_fn(params: MZParams, rng: jax.Array, obs: jax.Array,
-                temperature):
+                temperature, invalid_actions=None):
     root = root_fn(params, obs)
     fused_weights = (_maybe_fused_weights(params)
                      if search.policy == "muzero" else None)
@@ -87,6 +89,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           support_size=networks.support_size,
           discount=discount,
           max_depth=search.max_depth,
+          invalid_actions=invalid_actions,
           dirichlet_fraction=dirichlet_fraction,
           dirichlet_alpha=search.dirichlet_alpha,
           pb_c_init=search.pb_c_init,
@@ -97,6 +100,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           params, rng, root, recurrent_fn,
           num_simulations=search.num_simulations,
           max_depth=search.max_depth,
+          invalid_actions=invalid_actions,
           dirichlet_fraction=dirichlet_fraction,
           dirichlet_alpha=search.dirichlet_alpha,
           pb_c_init=search.pb_c_init,
@@ -107,6 +111,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           params, rng, root, recurrent_fn,
           num_simulations=search.num_simulations,
           max_depth=search.max_depth,
+          invalid_actions=invalid_actions,
           max_num_considered_actions=search.max_num_considered_actions,
           gumbel_scale=search.gumbel_scale)
     else:
@@ -136,8 +141,11 @@ def make_rollout_fn(networks: MZNetworks, env: AutoResetWrapper,
     def step_fn(scan_carry, rng_t):
       ar_state = scan_carry
       policy_rng, env_rng = jax.random.split(rng_t)
+      legal = (env.legal_action_mask(ar_state)
+               if hasattr(env, "legal_action_mask") else None)
+      invalid = None if legal is None else 1.0 - legal
       action, pi, root_value = policy_fn(params, policy_rng, ar_state.obs,
-                                         temperature)
+                                         temperature, invalid)
       new_ar, reward, done, info = env.step(ar_state, action, env_rng)
       store = dict(obs=ar_state.obs, action=action, reward=reward,
                    done=done, value=root_value, pi=pi,

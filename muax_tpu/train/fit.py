@@ -31,9 +31,16 @@ from muax_tpu.train.temperature import schedule_temperature
 
 
 def make_evaluate_fn(networks: MZNetworks, env: AutoResetWrapper,
-                     config: MuZeroConfig, num_envs: int = 32):
+                     config: MuZeroConfig, num_envs: Optional[int] = None):
   """Greedy evaluation (temperature=0): mean return of each env's first
-  episode (the reference's test(), muax/test.py:5-48)."""
+  episode (the reference's test(), muax/test.py:5-48).
+
+  Host pools fix their own batch size — ``num_envs`` defaults to
+  ``env.num_envs`` when the env defines it (GymVectorPool/Native2048Pool
+  raise on any other batch, envs/gym_adapter.py:73-75).
+  """
+  if num_envs is None:
+    num_envs = getattr(env, "num_envs", 32)
   policy_fn = make_policy_fn(networks, config, config.train.discount,
                              eval_mode=True)
   max_steps = env.spec.max_episode_steps
@@ -46,7 +53,11 @@ def make_evaluate_fn(networks: MZNetworks, env: AutoResetWrapper,
     def step_fn(scan_carry, rng_t):
       ar_state, finished, returns = scan_carry
       policy_rng, env_rng = jax.random.split(rng_t)
-      action, _, _ = policy_fn(params, policy_rng, ar_state.obs, 0.0)
+      legal = (env.legal_action_mask(ar_state)
+               if hasattr(env, "legal_action_mask") else None)
+      invalid = None if legal is None else 1.0 - legal
+      action, _, _ = policy_fn(params, policy_rng, ar_state.obs, 0.0,
+                               invalid)
       new_ar, reward, done, _ = env.step(ar_state, action, env_rng)
       returns = returns + jnp.where(finished, 0.0, reward)
       finished = jnp.logical_or(finished, done)
@@ -77,11 +88,20 @@ def fit(
     log_fn: Callable[[str], None] = print,
     reanalyze_every: Optional[int] = None,
     reanalyze_segments: int = 64,
+    eval_env=None,
 ):
-  """Train MuZero on a pure-JAX env. Returns (train_state, results dict).
+  """Train MuZero on a pure-JAX env or host pool. Returns
+  (train_state, results dict).
 
   ``results['model_path']`` is the best checkpoint (reference fit() contract,
   train.py:217-241); ``results['history']`` holds per-log metrics.
+
+  Evaluation env selection: pure-JAX envs are stateless (reset() mints fresh
+  state), so eval reuses the same env. Host pools hold mutable host state —
+  evaluating through the TRAINING pool would corrupt in-flight episodes, so
+  pools require a dedicated ``eval_env`` (a second, smaller pool); without
+  one, greedy eval is skipped and best-model tracking falls back to the
+  rollout's ``mean_episode_return``.
   """
   config = config or MuZeroConfig()
   optimizer = optimizer or muzero_optimizer()
@@ -93,7 +113,16 @@ def fit(
   wrapped = AutoResetWrapper(env) if isinstance(env, Environment) else env
   rollout = make_rollout_fn(networks, wrapped, config)
   multi_update = make_multi_update_fn(networks, optimizer, config)
-  evaluate = make_evaluate_fn(networks, wrapped, config)
+  if eval_env is not None:
+    eval_wrapped = (AutoResetWrapper(eval_env)
+                    if isinstance(eval_env, Environment) else eval_env)
+    evaluate = make_evaluate_fn(networks, eval_wrapped, config)
+  elif isinstance(env, Environment):
+    evaluate = make_evaluate_fn(networks, wrapped, config)
+  else:
+    evaluate = None
+    log_fn("[muax_tpu] host pool without eval_env: greedy eval disabled; "
+           "best model tracked by rollout mean_episode_return")
   reanalyze = None
   if reanalyze_every:
     from muax_tpu.train.reanalyze import make_reanalyze_fn
@@ -112,7 +141,8 @@ def fit(
       env.spec.observation_shape, networks.num_actions)
 
   @functools.partial(jax.jit, donate_argnums=(1, 2), static_argnums=(4,))
-  def iteration(train_state, replay_state, env_carry, rng, learn: bool):
+  def iteration(train_state, replay_state, env_carry, rng, learn: bool,
+                num_allowed=None):
     rng, rollout_rng, update_rng = jax.random.split(rng, 3)
     temperature = train_state.params.temperature
     env_carry, segments, priorities, roll_metrics = rollout(
@@ -120,7 +150,7 @@ def fit(
     replay_state = replay_add(replay_state, segments, priorities)
     if learn:
       train_state, replay_state, learn_metrics = multi_update(
-          train_state, replay_state, update_rng)
+          train_state, replay_state, update_rng, num_allowed)
     else:
       learn_metrics = {}
     return train_state, replay_state, env_carry, {**roll_metrics,
@@ -140,6 +170,13 @@ def fit(
   t_start = time.time()
   timed_steps = 0
 
+  # Samples-per-insert rate gate (Reverb SampleToInsertRatio semantics,
+  # acme/jax/muzero/builder.py:128-187): sampled windows may not outrun
+  # spi * inserted_steps * (1 + tolerance). Warm-up already inserted.
+  spi = tcfg.samples_per_insert
+  steps_inserted = warm_iters * env_steps_per_iter
+  windows_sampled = 0
+
   for it in range(num_iterations):
     rng, it_rng = jax.random.split(rng)
     # Refresh actor temperature from the schedule (temperature-in-params
@@ -149,9 +186,19 @@ def fit(
     train_state = train_state._replace(
         params=train_state.params._replace(
             temperature=jnp.asarray(temperature, jnp.float32)))
+    steps_inserted += env_steps_per_iter
+    if spi is None:
+      num_allowed = None
+    else:
+      budget = spi * steps_inserted * (1.0 + tcfg.spi_tolerance)
+      num_allowed = int(np.clip(
+          (budget - windows_sampled) // tcfg.batch_size, 0,
+          tcfg.updates_per_iteration))
+      windows_sampled += num_allowed * tcfg.batch_size
+      num_allowed = jnp.asarray(num_allowed, jnp.int32)
     with jax.profiler.StepTraceAnnotation("iteration", step_num=it):
       train_state, replay_state, env_carry, metrics = iteration(
-          train_state, replay_state, env_carry, it_rng, True)
+          train_state, replay_state, env_carry, it_rng, True, num_allowed)
     timed_steps += env_steps_per_iter
 
     if reanalyze is not None and (it + 1) % reanalyze_every == 0:
@@ -169,11 +216,14 @@ def fit(
       t_start, timed_steps = time.time(), 0
 
       if (it + 1) % eval_every == 0 or it == 0:
-        rng, eval_rng = jax.random.split(rng)
-        test_g = float(evaluate(train_state.params, eval_rng))
-        metrics["test_G"] = test_g
-        if test_g > best_reward:
-          best_reward = test_g
+        if evaluate is not None:
+          rng, eval_rng = jax.random.split(rng)
+          score = float(evaluate(train_state.params, eval_rng))
+          metrics["test_G"] = score
+        else:
+          score = metrics.get("mean_episode_return", -np.inf)
+        if score > best_reward:
+          best_reward = score
           if save_best:
             best_path = os.path.join(model_dir, f"best_it{it + 1}.ckpt")
             save_pytree(best_path, {

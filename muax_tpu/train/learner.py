@@ -42,7 +42,9 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
   def update(train_state: TrainState, replay_state: ReplayState,
              rng: jax.Array):
     batch, seg_idx, starts = replay_sample(
-        replay_state, rng, tcfg.batch_size, tcfg.unroll_steps)
+        replay_state, rng, tcfg.batch_size, tcfg.unroll_steps,
+        offline_fraction=config.replay.offline_fraction,
+        online_queue_size=config.replay.online_queue_size)
 
     def loss_fn(params):
       if is_stochastic:
@@ -87,20 +89,46 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
 def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
                          axis_name: str | None = None):
   """scan of N updates per call (the gradient_steps_per_learner_step=8
-  batching idea, acme/jax/muzero/config.py:30-32)."""
+  batching idea, acme/jax/muzero/config.py:30-32).
+
+  ``multi_update(..., num_allowed=None)``: when given, only the first
+  ``num_allowed`` of the N scanned updates execute (lax.cond skips the
+  rest) — the hook the samples-per-insert rate gate in ``fit`` uses to
+  reproduce Reverb's SampleToInsertRatio limiter (builder.py:128-187).
+  """
   update = make_update_fn(networks, optimizer, config, axis_name)
   n = config.train.updates_per_iteration
 
   def multi_update(train_state: TrainState, replay_state: ReplayState,
-                   rng: jax.Array):
-    def body(carry, rng_i):
+                   rng: jax.Array, num_allowed=None):
+    def body(carry, xs):
+      i, rng_i = xs
       ts, rs = carry
-      ts, rs, metrics = update(ts, rs, rng_i)
-      return (ts, rs), metrics
+      if num_allowed is None:
+        ts, rs, metrics = update(ts, rs, rng_i)
+        executed = jnp.float32(1.0)
+      else:
+        def run(ops):
+          ts_, rs_ = ops
+          ts_, rs_, m = update(ts_, rs_, rng_i)
+          return ts_, rs_, m
+        def skip(ops):
+          ts_, rs_ = ops
+          zero = {k: jnp.float32(0.0) for k in (
+              "loss", "reward_loss", "value_loss", "policy_loss",
+              "l2_loss", "grad_norm")}
+          return ts_, rs_, zero
+        executed = (i < num_allowed).astype(jnp.float32)
+        ts, rs, metrics = jax.lax.cond(i < num_allowed, run, skip, (ts, rs))
+      return (ts, rs), {**metrics, "updates_done": executed}
 
+    xs = (jnp.arange(n), jax.random.split(rng, n))
     (train_state, replay_state), metrics = jax.lax.scan(
-        body, (train_state, replay_state), jax.random.split(rng, n))
-    mean_metrics = jax.tree.map(jnp.mean, metrics)
+        body, (train_state, replay_state), xs)
+    done = jnp.maximum(jnp.sum(metrics["updates_done"]), 1.0)
+    mean_metrics = {
+        k: (jnp.sum(v) / done if k != "updates_done" else jnp.sum(v))
+        for k, v in metrics.items()}
     return train_state, replay_state, mean_metrics
 
   return multi_update

@@ -92,7 +92,9 @@ def test_model_learns_catch_dynamics():
   assert final_loss < first_loss * 0.1, (first_loss, final_loss)
 
   # One-step prediction: thresholded board matches the true transition.
-  state = CatchState(ball_row=jnp.asarray(1, jnp.int32),
+  # Query an in-distribution state (paddle starts center and moves 1
+  # col/step, so paddle_col=0 is first reachable at ball_row=2).
+  state = CatchState(ball_row=jnp.asarray(2, jnp.int32),
                      ball_col=jnp.asarray(2, jnp.int32),
                      paddle_col=jnp.asarray(0, jnp.int32))
   o = env._obs(state)[None]
