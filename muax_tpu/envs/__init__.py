@@ -8,3 +8,4 @@ from muax_tpu.envs.base import (
 )
 from muax_tpu.envs.cartpole import CartPole
 from muax_tpu.envs.catch import Catch
+from muax_tpu.envs.pixel import PixelCatch, PixelObsEnv
