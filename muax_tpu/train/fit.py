@@ -89,6 +89,8 @@ def fit(
     reanalyze_every: Optional[int] = None,
     reanalyze_segments: int = 64,
     eval_env=None,
+    checkpoint_every: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ):
   """Train MuZero on a pure-JAX env or host pool. Returns
   (train_state, results dict).
@@ -102,6 +104,15 @@ def fit(
   pools require a dedicated ``eval_env`` (a second, smaller pool); without
   one, greedy eval is skipped and best-model tracking falls back to the
   rollout's ``mean_episode_return``.
+
+  Checkpoint/resume: ``checkpoint_every=K`` snapshots the FULL state (train
+  state, replay ring, env carry, rng cursor, driver counters) to
+  ``model_dir/ckpt_itNNNNNN.pkl`` (hardlinked as ``ckpt_latest.pkl``, last 5
+  kept) every K iterations — the acme CheckpointingConfig cadence that also
+  snapshots Reverb tables (run_muzero.py:107-110). ``resume_from=path``
+  continues deterministically: resuming a snapshot from iteration N of a
+  ``num_iterations=T`` run reproduces the uninterrupted run bit-for-bit
+  (pure-JAX envs; call with the same config/num_iterations/seed).
   """
   config = config or MuZeroConfig()
   optimizer = optimizer or muzero_optimizer()
@@ -156,17 +167,37 @@ def fit(
     return train_state, replay_state, env_carry, {**roll_metrics,
                                                   **learn_metrics}
 
-  # --- buffer warm-up (train.py:146-173) ---
+  env_steps_per_iter = tcfg.num_envs * tcfg.collect_steps
   warm_iters = max(1, config.replay.min_fill // tcfg.num_envs)
-  for _ in range(warm_iters):
-    rng, it_rng = jax.random.split(rng)
-    train_state, replay_state, env_carry, _ = iteration(
-        train_state, replay_state, env_carry, it_rng, False)
-
   history = []
   best_reward = -np.inf
   best_path = None
-  env_steps_per_iter = tcfg.num_envs * tcfg.collect_steps
+  start_it = 0
+  steps_inserted = warm_iters * env_steps_per_iter
+  windows_sampled = 0
+
+  if resume_from is not None:
+    from muax_tpu.train.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(resume_from)
+    train_state = ckpt["train_state"]
+    replay_state = ckpt["replay_state"]
+    env_carry = ckpt["env_carry"]
+    rng = ckpt["rng"]
+    start_it = int(ckpt["iteration"])
+    c = ckpt["counters"]
+    best_reward = c.get("best_reward", -np.inf)
+    best_path = c.get("best_path")
+    steps_inserted = c.get("steps_inserted", steps_inserted)
+    windows_sampled = c.get("windows_sampled", 0)
+    history = list(c.get("history", []))
+    log_fn(f"[muax_tpu] resumed from {resume_from} at iteration {start_it}")
+  else:
+    # --- buffer warm-up (train.py:146-173) ---
+    for _ in range(warm_iters):
+      rng, it_rng = jax.random.split(rng)
+      train_state, replay_state, env_carry, _ = iteration(
+          train_state, replay_state, env_carry, it_rng, False)
+
   t_start = time.time()
   timed_steps = 0
 
@@ -174,10 +205,8 @@ def fit(
   # acme/jax/muzero/builder.py:128-187): sampled windows may not outrun
   # spi * inserted_steps * (1 + tolerance). Warm-up already inserted.
   spi = tcfg.samples_per_insert
-  steps_inserted = warm_iters * env_steps_per_iter
-  windows_sampled = 0
 
-  for it in range(num_iterations):
+  for it in range(start_it, num_iterations):
     rng, it_rng = jax.random.split(rng)
     # Refresh actor temperature from the schedule (temperature-in-params
     # trick, acme/jax/muzero/networks.py:16-20).
@@ -240,6 +269,30 @@ def fit(
         log_fn(f"[muax_tpu] target reward {target_reward} reached at "
                f"iteration {it + 1}")
         break
+
+    if checkpoint_every and (it + 1) % checkpoint_every == 0:
+      from muax_tpu.train.checkpoint import save_checkpoint
+      ckpt_path = os.path.join(model_dir, f"ckpt_it{it + 1:06d}.pkl")
+      save_checkpoint(
+          ckpt_path,
+          train_state=train_state, replay_state=replay_state,
+          env_carry=env_carry, rng=rng, iteration=it + 1,
+          counters=dict(best_reward=best_reward, best_path=best_path,
+                        steps_inserted=steps_inserted,
+                        windows_sampled=windows_sampled, history=history))
+      # 'latest' pointer as a hardlink (free) + bounded retention, the
+      # reference Checkpointer's max_to_keep behavior (tf/mcts/learning.py:
+      # 56-76).
+      latest = os.path.join(model_dir, "ckpt_latest.pkl")
+      if os.path.exists(ckpt_path):  # process 0 only in multi-host
+        if os.path.exists(latest) or os.path.islink(latest):
+          os.remove(latest)
+        os.link(ckpt_path, latest)
+        stamped = sorted(
+            f for f in os.listdir(model_dir)
+            if f.startswith("ckpt_it") and f.endswith(".pkl"))
+        for old in stamped[:-5]:
+          os.remove(os.path.join(model_dir, old))
 
   return train_state, {
       "model_path": best_path,
