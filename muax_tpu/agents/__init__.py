@@ -2,3 +2,4 @@
 
 from muax_tpu.agents.muzero import MuZero
 from muax_tpu.agents.stochastic import StochasticMuZero
+from muax_tpu.agents.diffusion import DiffusionMuZero

@@ -20,6 +20,19 @@ from muax_tpu.models.stochastic_networks import (
     make_stochastic_mlp_networks,
 )
 from muax_tpu.models.stochastic_losses import stochastic_muzero_loss
+from muax_tpu.models.diffusion import (
+    RectifiedFlow,
+    SDE,
+    batch_add,
+    batch_mul,
+    flow_matching_loss,
+)
+from muax_tpu.models.diffusion_networks import (
+    DMZNetworks,
+    DMZParams,
+    make_diffusion_mlp_networks,
+)
+from muax_tpu.models.diffusion_losses import diffusion_muzero_loss
 from muax_tpu.models.az_networks import AZNetwork, make_az_mlp, make_az_resnet
 from muax_tpu.models.env_model import (
     EnvModel,
