@@ -27,7 +27,7 @@ BASELINE_ENV_STEPS_PER_S = 100_000.0
 
 def main():
   p = argparse.ArgumentParser()
-  p.add_argument("--num_envs", type=int, default=1024)
+  p.add_argument("--num_envs", type=int, default=8192)
   p.add_argument("--num_simulations", type=int, default=64)
   p.add_argument("--collect_steps", type=int, default=20)
   p.add_argument("--batch_size", type=int, default=512)
@@ -43,9 +43,11 @@ def main():
   from muax_tpu.train.actor import make_rollout_fn
   from muax_tpu.train.learner import TrainState, make_multi_update_fn
 
+  # Ring must hold at least one full rollout's segments without wrapping a
+  # single add (duplicate scatter indices are unspecified in XLA).
   config = MuZeroConfig(
       search=SearchConfig(num_simulations=args.num_simulations),
-      replay=ReplayConfig(capacity=2048, min_fill=64),
+      replay=ReplayConfig(capacity=max(2048, 2 * args.num_envs), min_fill=64),
       train=TrainConfig(num_envs=args.num_envs,
                         collect_steps=args.collect_steps,
                         batch_size=args.batch_size,

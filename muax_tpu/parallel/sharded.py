@@ -36,6 +36,11 @@ class ShardedProgram(NamedTuple):
   iteration: Callable  # (train_state, replay, env, rng) -> (..., metrics)
   mesh: Mesh
   local_config: MuZeroConfig
+  # (train_state, replay_state, rng) -> (replay_state, metrics); present
+  # when reanalyze_segments > 0 — every shard refreshes its own replay ring
+  # with fresh search under the CURRENT params (the BASELINE north star:
+  # reanalyze runs on the data mesh, not a side process).
+  reanalyze: Callable | None = None
 
 
 def _local_config(config: MuZeroConfig, num_shards: int) -> MuZeroConfig:
@@ -59,9 +64,15 @@ def make_sharded_program(
     config: MuZeroConfig,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
+    reanalyze_segments: int = 0,
 ) -> ShardedProgram:
   """Build the SPMD iteration. ``config`` values are GLOBAL (whole-mesh);
-  env batch / learner batch / replay capacity must divide the data axis."""
+  env batch / learner batch / replay capacity must divide the data axis.
+
+  ``reanalyze_segments`` > 0 also builds ``program.reanalyze``: one SPMD call
+  refreshing that many stale segments GLOBALLY (split across shards, each
+  searching its own replay shard; schedule it every K iterations from the
+  driver)."""
   num_shards = mesh.shape[DATA_AXIS]
   tcfg = config.train
   if tcfg.num_envs % num_shards or tcfg.batch_size % num_shards:
@@ -85,7 +96,8 @@ def make_sharded_program(
     env_carry, segments, priorities, roll_metrics = rollout(
         train_state.params, env_carry, rollout_rng,
         train_state.params.temperature)
-    replay_state = replay_add(replay_state, segments, priorities)
+    replay_state = replay_add(replay_state, segments, priorities,
+                              step=train_state.step)
     train_state, replay_state, learn_metrics = multi_update(
         train_state, replay_state, update_rng)
 
@@ -112,6 +124,44 @@ def make_sharded_program(
       donate_argnums=(1, 2),
   )
 
+  sharded_reanalyze = None
+  if reanalyze_segments:
+    from muax_tpu.train.reanalyze import make_reanalyze_fn
+    if reanalyze_segments % num_shards:
+      raise ValueError(
+          f"reanalyze_segments={reanalyze_segments} must divide the "
+          f"data-axis size {num_shards}")
+    local_reanalyze = make_reanalyze_fn(
+        networks, local, reanalyze_segments // num_shards)
+
+    def local_re(train_state, replay_state, rng):
+      replay_state = replay_state.replace(
+          cursor=replay_state.cursor[0],
+          total_added=replay_state.total_added[0])
+      rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+      replay_state, metrics = local_reanalyze(
+          train_state.params, replay_state, rng, train_state.step)
+      metrics = {
+          k: (jax.lax.psum(v, DATA_AXIS) if k == "reanalyzed_segments"
+              else jax.lax.pmean(v, DATA_AXIS))
+          for k, v in metrics.items()
+      }
+      replay_state = replay_state.replace(
+          cursor=replay_state.cursor[None],
+          total_added=replay_state.total_added[None])
+      return replay_state, metrics
+
+    sharded_reanalyze = jax.jit(
+        shard_map(
+            local_re,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=(P(DATA_AXIS), P()),
+            check_vma=False,
+        ),
+        donate_argnums=(1,),
+    )
+
   def init(rng):
     init_rng, env_rng = jax.random.split(rng)
     sample_obs = jnp.zeros((1,) + env.spec.observation_shape)
@@ -135,4 +185,4 @@ def make_sharded_program(
     return train_state, replay_state, env_carry
 
   return ShardedProgram(init=init, iteration=sharded_iteration, mesh=mesh,
-                        local_config=local)
+                        local_config=local, reanalyze=sharded_reanalyze)

@@ -40,6 +40,9 @@ class ReplayState:
   value: jax.Array
   pi: jax.Array
   step_priorities: jax.Array  # [C, L] f32 (already alpha-exponentiated)
+  target_step: jax.Array      # [C] i32 — learner step when pi/value/rn were
+                              # last written (insert or reanalyze); the
+                              # staleness ledger reanalyze burns down
   cursor: jax.Array           # int32 — next write slot
   total_added: jax.Array      # int32 — lifetime segments added
 
@@ -69,14 +72,18 @@ def replay_init(capacity: int, segment_length: int,
       value=jnp.zeros((C, L), jnp.float32),
       pi=jnp.zeros((C, L, num_actions), jnp.float32),
       step_priorities=jnp.zeros((C, L), jnp.float32),
+      target_step=jnp.zeros((C,), jnp.int32),
       cursor=jnp.asarray(0, jnp.int32),
       total_added=jnp.asarray(0, jnp.int32),
   )
 
 
 def replay_add(state: ReplayState, segments: Transition,
-               step_priorities: jax.Array) -> ReplayState:
-  """Insert K segments ([K, L, ...]) at the ring cursor (with wraparound)."""
+               step_priorities: jax.Array,
+               step: jax.Array | int = 0) -> ReplayState:
+  """Insert K segments ([K, L, ...]) at the ring cursor (with wraparound).
+  ``step`` stamps the targets' freshness (the learner step that produced
+  them) into ``target_step``."""
   k = segments.action.shape[0]
   idx = (state.cursor + jnp.arange(k)) % state.capacity
   return state.replace(
@@ -88,6 +95,8 @@ def replay_add(state: ReplayState, segments: Transition,
       value=state.value.at[idx].set(segments.value),
       pi=state.pi.at[idx].set(segments.pi),
       step_priorities=state.step_priorities.at[idx].set(step_priorities),
+      target_step=state.target_step.at[idx].set(
+          jnp.asarray(step, jnp.int32)),
       cursor=(state.cursor + k) % state.capacity,
       total_added=state.total_added + k,
   )

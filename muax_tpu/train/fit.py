@@ -158,7 +158,8 @@ def fit(
     temperature = train_state.params.temperature
     env_carry, segments, priorities, roll_metrics = rollout(
         train_state.params, env_carry, rollout_rng, temperature)
-    replay_state = replay_add(replay_state, segments, priorities)
+    replay_state = replay_add(replay_state, segments, priorities,
+                              step=train_state.step)
     if learn:
       train_state, replay_state, learn_metrics = multi_update(
           train_state, replay_state, update_rng, num_allowed)
@@ -233,7 +234,7 @@ def fit(
     if reanalyze is not None and (it + 1) % reanalyze_every == 0:
       rng, re_rng = jax.random.split(rng)
       replay_state, re_metrics = reanalyze(train_state.params, replay_state,
-                                           re_rng)
+                                           re_rng, train_state.step)
       metrics = {**metrics, **re_metrics}
 
     if (it + 1) % log_every == 0 or it == 0:

@@ -80,6 +80,13 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
         "policy_loss": metrics.policy_loss,
         "l2_loss": metrics.l2_loss,
         "grad_norm": optax.global_norm(grads),
+        # How old (in learner steps) the sampled windows' pi/value/rn targets
+        # are — the staleness ledger reanalyze burns down (Reanalyze,
+        # Schrittwieser et al. 2020 appendix H; stubbed in the reference at
+        # acme/jax/muzero/utils.py:25-70).
+        "target_staleness": jnp.mean(
+            (train_state.step - replay_state.target_step[seg_idx])
+            .astype(jnp.float32)),
     }
     return new_state, replay_state, out_metrics
 
@@ -116,7 +123,7 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
           ts_, rs_ = ops
           zero = {k: jnp.float32(0.0) for k in (
               "loss", "reward_loss", "value_loss", "policy_loss",
-              "l2_loss", "grad_norm")}
+              "l2_loss", "grad_norm", "target_staleness")}
           return ts_, rs_, zero
         executed = (i < num_allowed).astype(jnp.float32)
         ts, rs, metrics = jax.lax.cond(i < num_allowed, run, skip, (ts, rs))

@@ -32,12 +32,15 @@ def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
   tcfg = config.train
   L = tcfg.collect_steps
 
-  def reanalyze(params, replay_state: ReplayState, rng: jax.Array):
+  def reanalyze(params, replay_state: ReplayState, rng: jax.Array,
+                step: jax.Array | int = 0):
     seg_rng, search_rng = jax.random.split(rng)
-    # Uniform over filled slots; staleness-weighted sampling can layer on
-    # by reusing the priority machinery.
+    # Stalest-first: sample by target age (filled slots only), so the
+    # freshness ledger burns down where it matters most.
     filled = jnp.arange(replay_state.capacity) < replay_state.size
-    logits = jnp.where(filled, 0.0, -jnp.inf)
+    age = (jnp.asarray(step, jnp.int32) - replay_state.target_step).astype(
+        jnp.float32)
+    logits = jnp.where(filled, jnp.log1p(jnp.maximum(age, 0.0)), -jnp.inf)
     seg_idx = jax.random.categorical(seg_rng, logits,
                                      shape=(num_segments,))
 
@@ -65,11 +68,14 @@ def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
         rn=replay_state.rn.at[seg_idx].set(rn),
         step_priorities=replay_state.step_priorities.at[seg_idx]
         .set(priorities),
+        target_step=replay_state.target_step.at[seg_idx].set(
+            jnp.asarray(step, jnp.int32)),
     )
     metrics = {
         "reanalyzed_segments": jnp.asarray(num_segments),
         "reanalyze_value_shift": jnp.mean(
             jnp.abs(values - replay_state.value[seg_idx])),
+        "reanalyzed_target_age": jnp.mean(age[seg_idx]),
     }
     return new_state, metrics
 

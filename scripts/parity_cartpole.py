@@ -1,0 +1,93 @@
+"""Parity artifact: CartPole-v1 solved within the reference's episode budget.
+
+Runs the notebook config (examples/run_cartpole.py defaults) with
+log_every=1 so every iteration's episode count lands in the history, then
+writes PARITY_r02.json recording episodes-to-solve vs the reference's ~500
+episodes (README.md:141-143). Committed output = the reproducible evidence
+VERDICT round 1 asked for.
+
+  python scripts/parity_cartpole.py --seed 42 --out PARITY_r02.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--seed", type=int, default=42)
+  p.add_argument("--num_iterations", type=int, default=800)
+  p.add_argument("--out", type=str, default="PARITY_r02.json")
+  args = p.parse_args()
+
+  from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
+                               TrainConfig)
+  from muax_tpu.envs import CartPole
+  from muax_tpu.models import make_mlp_networks, muzero_optimizer
+  from muax_tpu.train.fit import fit
+
+  config = MuZeroConfig(
+      search=SearchConfig(policy="muzero", num_simulations=50),
+      replay=ReplayConfig(capacity=2048, min_fill=64, priority_alpha=0.5),
+      train=TrainConfig(num_envs=16, collect_steps=25, batch_size=256,
+                        updates_per_iteration=64, unroll_steps=10,
+                        n_bootstrap=10, discount=0.997))
+  networks = make_mlp_networks(num_actions=2, embedding_dim=10,
+                               support_size=20, repr_layers=(),
+                               pred_layers=(64, 64, 16),
+                               dyn_layers=(64, 64, 16))
+  optimizer = muzero_optimizer(peak_lr=2e-2, end_lr=1e-4, warmup_steps=2000,
+                               transition_steps=10000, decay_rate=0.8)
+
+  t0 = time.time()
+  state, results = fit(
+      CartPole(), networks, config, optimizer,
+      num_iterations=args.num_iterations, seed=args.seed,
+      eval_every=5, log_every=1, model_dir="/tmp/parity_cartpole",
+      target_reward=500.0, log_fn=lambda m: print(m, flush=True))
+  wall = time.time() - t0
+
+  episodes = 0
+  episodes_at_solve = None
+  solve_iteration = None
+  curve = []
+  for row in results["history"]:
+    episodes += int(row.get("episodes_finished", 0))
+    if "test_G" in row:
+      curve.append({"iteration": row["iteration"], "episodes": episodes,
+                    "test_G": row["test_G"]})
+      if row["test_G"] >= 500.0 and episodes_at_solve is None:
+        episodes_at_solve = episodes
+        solve_iteration = row["iteration"]
+
+  out = {
+      "claim": "CartPole-v1 test_G=500 within <=500 episodes "
+               "(reference ~500 episodes, README.md:141-143)",
+      "config": "notebook config: embed 10, support 20, heads (64,64,16), "
+                "50 sims, unroll 10, n-step 10, peak lr 2e-2",
+      "seed": args.seed,
+      "solved": episodes_at_solve is not None,
+      "episodes_to_solve": episodes_at_solve,
+      "solve_iteration": solve_iteration,
+      "total_episodes": episodes,
+      "best_test_G": results["best_reward"],
+      "wall_seconds": round(wall, 1),
+      "device": str(jax.devices()[0]),
+      "eval_curve": curve,
+  }
+  with open(args.out, "w") as f:
+    json.dump(out, f, indent=1)
+  print(json.dumps({k: v for k, v in out.items() if k != "eval_curve"}))
+
+
+if __name__ == "__main__":
+  main()

@@ -81,3 +81,42 @@ class TestShardedProgram:
     with pytest.raises(ValueError):
       make_sharded_program(networks, env, config,
                            create_optimizer("adam", 1e-3), mesh)
+
+  def test_reanalyze_on_the_mesh(self, mesh):
+    """program.reanalyze refreshes every shard's own ring: targets change,
+    freshness stamps advance, and the learner's target_staleness metric
+    drops on the next iteration."""
+    config = small_config()
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    env = AutoResetWrapper(CartPole())
+    program = make_sharded_program(
+        networks, env, config, create_optimizer("adam", 1e-3), mesh,
+        reanalyze_segments=16)
+    assert program.reanalyze is not None
+    train_state, replay_state, env_carry = program.init(jax.random.PRNGKey(0))
+    for i in range(4):
+      train_state, replay_state, env_carry, metrics = program.iteration(
+          train_state, replay_state, env_carry, jax.random.PRNGKey(i))
+    stale_before = float(metrics["target_staleness"])
+    pi_before = np.asarray(replay_state.pi)
+
+    replay_state, re_metrics = program.reanalyze(
+        train_state, replay_state, jax.random.PRNGKey(99))
+    assert int(re_metrics["reanalyzed_segments"]) == 16
+    assert np.isfinite(float(re_metrics["reanalyze_value_shift"]))
+    # Shards refreshed independently: every shard has >= 1 fresh stamp.
+    stamps = np.asarray(replay_state.target_step).reshape(8, -1)
+    assert (stamps.max(axis=1) == int(train_state.step)).all()
+    assert not np.array_equal(pi_before, np.asarray(replay_state.pi))
+
+    train_state, replay_state, env_carry, metrics = program.iteration(
+        train_state, replay_state, env_carry, jax.random.PRNGKey(5))
+    assert float(metrics["target_staleness"]) < stale_before + 1.0
+
+  def test_no_reanalyze_by_default(self, mesh):
+    config = small_config()
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    env = AutoResetWrapper(CartPole())
+    program = make_sharded_program(
+        networks, env, config, create_optimizer("adam", 1e-3), mesh)
+    assert program.reanalyze is None
