@@ -8,4 +8,6 @@ from muax_tpu.envs.base import (
 )
 from muax_tpu.envs.cartpole import CartPole
 from muax_tpu.envs.catch import Catch
+from muax_tpu.envs.connect4 import ConnectFour
 from muax_tpu.envs.pixel import PixelCatch, PixelObsEnv
+from muax_tpu.envs.tictactoe import TicTacToe

@@ -1,0 +1,138 @@
+"""Connect Four env semantics + AlphaZero-resnet learning on it.
+
+The board-game-scale workload VERDICT r1 asked for (ref
+examples/open_spiel/go/run_alphazero.py at reduced scale); also the first
+e2e exercise of models.az_networks.make_az_resnet.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from muax_tpu.envs import ConnectFour
+from muax_tpu.models.az_networks import make_az_mlp, make_az_resnet
+from muax_tpu.replay.buffer import replay_add, replay_init
+from muax_tpu.train.selfplay import (AZConfig, evaluate_vs_random,
+                                     make_az_policy_fn, make_az_selfplay_fn,
+                                     make_az_update_fn)
+
+
+def _play(env, moves):
+  state, _ = env.reset(jax.random.PRNGKey(0))
+  reward = done = None
+  for a in moves:
+    state, obs, reward, done = env.step(state, jnp.asarray(a))
+  return state, float(reward), bool(done)
+
+
+class TestConnectFour:
+
+  def test_gravity_stacks_from_bottom(self):
+    env = ConnectFour()
+    state, _, _ = _play(env, [3, 3, 3])
+    grid = np.asarray(state.board).reshape(6, 7)
+    # Bottom three cells of column 3: p0, p1, p0 (rows 5, 4, 3).
+    assert grid[5, 3] == 1 and grid[4, 3] == 2 and grid[3, 3] == 1
+    assert grid[2, 3] == 0
+
+  def test_vertical_win(self):
+    env = ConnectFour()
+    # p0 stacks column 0; p1 wastes moves in column 6.
+    _, reward, done = _play(env, [0, 6, 0, 6, 0, 6, 0])
+    assert done and reward == 1.0
+
+  def test_horizontal_win(self):
+    env = ConnectFour()
+    _, reward, done = _play(env, [0, 0, 1, 1, 2, 2, 3])
+    assert done and reward == 1.0
+
+  def test_diagonal_win(self):
+    env = ConnectFour()
+    # Build a / diagonal for p0 at columns 0..3.
+    moves = [0, 1, 1, 2, 2, 3, 2, 3, 3, 6, 3]
+    _, reward, done = _play(env, moves)
+    assert done and reward == 1.0
+
+  def test_full_column_is_illegal_and_loses(self):
+    env = ConnectFour()
+    state, _, _ = _play(env, [0, 0, 0, 0, 0, 0])  # column 0 full
+    legal = np.asarray(env.legal_actions(state))
+    assert legal[0] == 0.0 and legal[1:].all()
+    new, _, reward, done = env.step(state, jnp.asarray(0))
+    assert bool(done) and float(reward) == -1.0
+
+  def test_observation_perspective_flips(self):
+    env = ConnectFour()
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state, obs, _, _ = env.step(state, jnp.asarray(3))
+    # After p0's move it is p1 to play: p0's stone is the OPPONENT plane.
+    assert obs[5, 3, 1] == 1.0 and obs[5, 3, 0] == 0.0
+
+  def test_draw_on_full_board(self):
+    env = ConnectFour()
+    # Column order that fills the board without 4-in-a-row: pair columns
+    # (0,1),(2,3),(4,5) swap ownership every two rows; verified no winner.
+    cols = []
+    for r in range(3):
+      base = [0, 1, 2, 3, 4, 5] if r % 2 == 0 else [1, 0, 3, 2, 5, 4]
+      cols += base + base
+    cols += [6] * 6
+    state, reward, done = _play(ConnectFour(), cols)
+    full = np.all(np.asarray(state.board) != 0)
+    assert done and full
+    assert reward == 0.0, np.asarray(state.board).reshape(6, 7)
+
+
+class TestAZOnConnectFour:
+
+  def test_search_takes_immediate_win(self):
+    env = ConnectFour()
+    network = make_az_mlp(7, hidden=(16,))
+    params = network.init_params(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 6, 7, 2)))
+    # p0 has three in a row at the bottom of columns 0-2; to move.
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    for a in [0, 6, 1, 6, 2, 5]:
+      state, _, _, _ = env.step(state, jnp.asarray(a))
+    batched = jax.tree.map(lambda x: x[None], state)
+    # PUCT with ~uniform priors needs ~30 sims before it tries a second
+    # root action (pb_c * p * sqrt(N) must overtake a qn=1 child), so the
+    # win surfaces late; 128 sims leaves it clearly dominant.
+    policy_fn = make_az_policy_fn(env, network, num_simulations=128,
+                                  dirichlet_fraction=0.25)
+    action, pi, value = jax.jit(policy_fn)(
+        params, jax.random.PRNGKey(1), batched, jnp.asarray(0.0))
+    assert int(action[0]) == 3  # completes the horizontal four
+
+  def test_resnet_selfplay_learns_to_beat_random(self):
+    """Short AZ run with the conv resnet must clearly beat uniform random
+    (the example script pushes this to >=0.9 with a bigger budget)."""
+    env = ConnectFour()
+    network = make_az_resnet(7, channels=16, num_blocks=2)
+    config = AZConfig(num_simulations=24, num_envs=32, collect_steps=14,
+                      batch_size=128, updates_per_iteration=4,
+                      replay_capacity=256)
+    optimizer = optax.adam(3e-3)
+    rng = jax.random.PRNGKey(0)
+    params = network.init_params(rng, jnp.zeros((1, 6, 7, 2)))
+    opt_state = optimizer.init(params)
+    state, _ = jax.vmap(env.reset)(jax.random.split(rng, config.num_envs))
+    replay = replay_init(config.replay_capacity, config.collect_steps,
+                         (6, 7, 2), 7)
+    selfplay = jax.jit(make_az_selfplay_fn(env, network, config))
+    update = jax.jit(make_az_update_fn(network, optimizer, config))
+
+    for it in range(8):
+      rng, sp_rng = jax.random.split(rng)
+      state, segments, priorities, metrics = selfplay(
+          params, state, sp_rng, jnp.asarray(1.0))
+      replay = replay_add(replay, segments, priorities)
+      for _ in range(config.updates_per_iteration):
+        rng, up_rng = jax.random.split(rng)
+        params, opt_state, replay, m = update(params, opt_state, replay,
+                                              up_rng)
+    assert np.isfinite(float(m["loss"]))
+    score = evaluate_vs_random(env, network, params, jax.random.PRNGKey(7),
+                               num_games=32, num_simulations=24)
+    # 24-sim lookahead + a briefly trained net must dominate random play.
+    assert score > 0.5, score
