@@ -147,20 +147,37 @@ def _pick_tile(batch: int, bytes_per_row: int,
 def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
                  num_hidden_dyn: int, num_hidden_pred: int,
                  num_simulations: int, max_depth: int, discount: float,
-                 pb_c_init: float, pb_c_base: float, support_size: int):
+                 pb_c_init: float, pb_c_base: float, support_size: int,
+                 policy: str = "muzero", NS: int = 0,
+                 value_scale: float = 0.1, maxvisit_init: float = 50.0):
   """Build the kernel body. Weight refs arrive flattened in the order of
-  FusedMLPWeights; see fused_muzero_search for the call layout."""
+  FusedMLPWeights; see fused_muzero_search for the call layout.
+
+  ``policy``: 'muzero' (PUCT descent + parent-and-siblings qtransform) or
+  'gumbel' (sequential-halving root + improved-policy interior +
+  completed-by-mix-value qtransform — policies.gumbel_muzero_policy
+  semantics). Gumbel adds two input refs after ``invalid_ref``:
+  root_score_ref [T, A] = gumbel + prior_logits (their only use is summed),
+  sched_ref [T, NS] = per-row considered-visit schedule
+  (seq_halving.considered_visit_table row for this row's valid-action
+  count), NS = pad(num_simulations, 128).
+  """
   CP = NP * A
   N = num_simulations + 1
+  is_gumbel = policy == "gumbel"
 
   def kernel(*refs):
     (root_emb_ref, root_logits_ref, root_value_ref, invalid_ref) = refs[:4]
-    wrefs = refs[4:4 + 2 * (num_hidden_dyn + num_hidden_pred + 4)]
+    base = 4
+    if is_gumbel:
+      root_score_ref, sched_ref = refs[4:6]
+      base = 6
+    wrefs = refs[base:base + 2 * (num_hidden_dyn + num_hidden_pred + 4)]
     out_visits_ref, out_value_ref, out_q_ref = refs[
-        4 + len(wrefs):7 + len(wrefs)]
+        base + len(wrefs):base + 3 + len(wrefs)]
     (nvis_ref, nval_ref, nraw_ref, npar_ref, nact_ref,
      cidx_ref, cpri_ref, cvis_ref, crew_ref, cval_ref,
-     emb_ref) = refs[7 + len(wrefs):]
+     emb_ref) = refs[base + 3 + len(wrefs):]
 
     def wpair(i):
       return wrefs[2 * i][:], wrefs[2 * i + 1][:]
@@ -180,6 +197,12 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (T, CP), 1).astype(jnp.float32)
     col_n = jnp.floor(col / A)
     invalid_cp = jnp.tile(invalid_ref[:], (1, NP))  # col -> invalid[col % A]
+    if is_gumbel:
+      # Schedule columns + the root's (gumbel + prior logits) tiled onto the
+      # child-column layout (only node 0's columns are ever read).
+      scol = (jax.lax.broadcasted_iota(jnp.int32, (T, NS), 1)
+              .astype(jnp.float32))
+      root_score_cp = jnp.tile(root_score_ref[:], (1, NP))
 
     # ---- forest init (scratch persists across grid steps: assign fully) ----
     root_col = ncol == 0.0
@@ -215,14 +238,42 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
       return _inv_value_transform(
           jnp.sum(p * bins, axis=-1, keepdims=True))  # [T, 1]
 
+    def _completed_q(cur):
+      """qtransform_completed_by_mix_value over node ``cur``'s columns:
+      (completed_q [T, CP] valid on colmask, colmask, cvis)."""
+      node_oh = ncol == cur
+      colmask = col_n == cur
+      nraw = gather_np(nraw_ref, node_oh)                     # [T, 1]
+      cvis = cvis_ref[:]
+      q = crew_ref[:] + discount * cval_ref[:]
+      visited = jnp.logical_and(cvis > 0.0, colmask)
+      pri = jnp.where(colmask, cpri_ref[:], 0.0)
+      sum_visits = jnp.sum(jnp.where(colmask, cvis, 0.0), axis=-1,
+                           keepdims=True)
+      visited_probs = jnp.where(visited, pri, 0.0)
+      sum_probs = jnp.sum(visited_probs, axis=-1, keepdims=True)
+      weighted_q = (jnp.sum(visited_probs * q, axis=-1, keepdims=True)
+                    / jnp.maximum(sum_probs, 1e-8))
+      v_mix = (nraw + sum_visits * weighted_q) / (sum_visits + 1.0)
+      completed = jnp.where(visited, q, v_mix)
+      low = jnp.min(jnp.where(colmask, completed, -_NEG), axis=-1,
+                    keepdims=True)
+      high = jnp.max(jnp.where(colmask, completed, _NEG), axis=-1,
+                     keepdims=True)
+      completed = (completed - low) / jnp.maximum(high - low, 1e-8)
+      maxvisit = jnp.max(jnp.where(colmask, cvis, 0.0), axis=-1,
+                         keepdims=True)
+      cq = (maxvisit_init + maxvisit) * value_scale * completed
+      return cq, colmask, cvis
+
     # ---------------------------- simulation loop -------------------------
     def sim_body(s, _):
-      # -- descent: lockstep PUCT walk until an unexpanded child ----------
+      # -- descent: lockstep walk until an unexpanded child ---------------
       def d_cond(c):
         return jnp.any(c[4] > 0.0)
 
-      def d_body(c):
-        cur, parent, act, depth, active = c
+      def _muzero_score(cur, depth, s):
+        """PUCT with qtransform_by_parent_and_siblings (qtransforms.py)."""
         node_oh = ncol == cur
         nvisit = gather_np(nvis_ref, node_oh)   # [T, 1]
         nvalue = gather_np(nval_ref, node_oh)
@@ -244,14 +295,52 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
         score = qn + policy_score
         score = jnp.where(
             jnp.logical_and(depth == 0, invalid_cp > 0.0), _NEG, score)
-        score = jnp.where(colmask, score, _NEG)
-        # argmax as max + lowest matching column (ties -> first, like argmax)
+        return jnp.where(colmask, score, _NEG)
+
+      def _gumbel_root_score(s):
+        """Sequential halving at the root: among actions whose visit count
+        equals the schedule, g + logits + sigma(q-hat)
+        (action_selection.py:77-103)."""
+        cq, colmask, cvis = _completed_q(zero_r)
+        sched = jnp.sum(
+            jnp.where(scol == s.astype(jnp.float32), sched_ref[:], 0.0),
+            axis=-1, keepdims=True)                           # [T, 1]
+        score = jnp.where(cvis == sched, root_score_cp + cq, _NEG)
+        score = jnp.where(invalid_cp > 0.0, _NEG, score)
+        return jnp.where(colmask, score, _NEG)
+
+      def _gumbel_interior_score(cur):
+        """Improved-policy tracking pi' - n/(1+N) with completed_by_mix
+        (action_selection.py:106-128)."""
+        cq, colmask, cvis = _completed_q(cur)
+        logp = jnp.log(jnp.maximum(cpri_ref[:], 1e-30)) + cq
+        m = jnp.max(jnp.where(colmask, logp, _NEG), axis=-1,
+                    keepdims=True)
+        e = jnp.where(colmask, jnp.exp(logp - m), 0.0)
+        probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        sum_visits = jnp.sum(jnp.where(colmask, cvis, 0.0), axis=-1,
+                             keepdims=True)
+        score = probs - cvis / (1.0 + sum_visits)
+        return jnp.where(colmask, score, _NEG)
+
+      def _select(score):
+        """argmax as max + lowest matching column (ties -> first).
+        Returns (best column [T,1], action [T,1], child index [T,1])."""
         m = jnp.max(score, axis=-1, keepdims=True)
         best = jnp.min(jnp.where(score >= m, col, 3e7), axis=-1,
                        keepdims=True)                    # [T, 1] f32
         a = best - jnp.floor(best / A) * A
         child = jnp.sum(jnp.where(col == best, cidx_ref[:], 0.0), axis=-1,
                         keepdims=True)
+        return best, a, child
+
+      def d_body(c):
+        cur, parent, act, depth, active = c
+        if is_gumbel:
+          score = _gumbel_interior_score(cur)
+        else:
+          score = _muzero_score(cur, depth, s)
+        _, a, child = _select(score)
         on = active > 0.0
         parent = jnp.where(on, cur, parent)
         act = jnp.where(on, a, act)
@@ -261,10 +350,17 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
         active = active * jnp.where(child == -1.0, 0.0, 1.0) * still
         return cur, parent, act, depth, active
 
-      cur, parent, act, _, _ = jax.lax.while_loop(
-          d_cond, d_body,
-          (zero_r, zero_r - 1.0, zero_r - 1.0, jnp.asarray(0, jnp.int32),
-           zero_r + 1.0))
+      if is_gumbel:
+        # Peel the root step: sequential halving applies exactly once per
+        # simulation (depth 0), so it stays out of the descent loop.
+        _, a0, child0 = _select(_gumbel_root_score(s))
+        init = (child0, zero_r, a0, jnp.asarray(1, jnp.int32),
+                jnp.where(child0 == -1.0, 0.0, 1.0)
+                * (1.0 if max_depth > 1 else 0.0))
+      else:
+        init = (zero_r, zero_r - 1.0, zero_r - 1.0,
+                jnp.asarray(0, jnp.int32), zero_r + 1.0)
+      cur, parent, act, _, _ = jax.lax.while_loop(d_cond, d_body, init)
 
       # slot: fresh node s+1 unless the depth cap stopped on an existing
       # child (then re-evaluate that node; core.search body semantics)
@@ -362,17 +458,24 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
     cvis = cvis_ref[:]
     out_visits_ref[:] = cvis[:, :A]
     out_value_ref[:] = nval_ref[:, :1]
-    out_q_ref[:] = crew_ref[:, :A] + discount * cval_ref[:, :A]
+    if is_gumbel:
+      # Gumbel consumers need sigma(q-hat) at the root (action weights are
+      # softmax(logits + completed_q), policies.py:166-171).
+      cq_root, _, _ = _completed_q(zero_r)
+      out_q_ref[:] = cq_root[:, :A]
+    else:
+      out_q_ref[:] = crew_ref[:, :A] + discount * cval_ref[:, :A]
 
   return kernel
 
 
-def fused_muzero_search(
+def _fused_search(
     root_embedding: jax.Array,      # [B, E]
     root_prior_logits: jax.Array,   # [B, A] (noise/masking already applied)
     root_value: jax.Array,          # [B]
     weights: FusedMLPWeights,
     *,
+    policy: str,
     num_simulations: int,
     support_size: int,
     discount: float,
@@ -382,26 +485,37 @@ def fused_muzero_search(
     pb_c_base: float = 19652.0,
     batch_tile: Optional[int] = None,
     interpret: Optional[bool] = None,
+    root_score: Optional[jax.Array] = None,   # gumbel: g + logits [B, A]
+    schedule: Optional[jax.Array] = None,     # gumbel: [B, S] f32 visits
 ):
-  """Run the fused search. Returns (visit_counts [B, A] f32, root_value [B],
-  root_qvalues [B, A]) — the SearchSummary fields the policies consume."""
+  """Shared driver for the fused kernels. Returns (visit_counts [B, A] f32,
+  root_value [B], root_q [B, A]) — root_q is raw r+gamma*v for 'muzero' and
+  the completed/transformed sigma(q-hat) for 'gumbel'."""
   B, E = root_embedding.shape
   A = root_prior_logits.shape[-1]
   S41 = 2 * support_size + 1
   N = num_simulations + 1
   NP = _round_up(N, 128)
   CP = NP * A
+  NS = _round_up(num_simulations, 128)
   if max_depth is None:
     max_depth = num_simulations
   if invalid_actions is None:
     invalid_actions = jnp.zeros((B, A), jnp.float32)
   if interpret is None:
     interpret = jax.default_backend() == "cpu"
+  is_gumbel = policy == "gumbel"
 
   bytes_per_row = 4 * (5 * NP + 5 * CP + E * NP)
   T = batch_tile or _pick_tile(B, bytes_per_row)
   G = -(-B // T)  # grid steps
   BP = G * T
+  extra_inputs = []
+  if is_gumbel:
+    sched_padded = jnp.zeros((B, NS), jnp.float32)
+    sched_padded = sched_padded.at[:, :schedule.shape[1]].set(
+        schedule.astype(jnp.float32))
+    extra_inputs = [root_score.astype(jnp.float32), sched_padded]
   if BP != B:
     pad = BP - B
 
@@ -413,6 +527,7 @@ def fused_muzero_search(
     root_prior_logits = pad0(root_prior_logits)
     root_value = pad0(root_value)
     invalid_actions = pad0(invalid_actions)
+    extra_inputs = [pad0(x) for x in extra_inputs]
 
   num_hidden_dyn = len(weights.dyn_hidden)
   num_hidden_pred = len(weights.pred_hidden)
@@ -428,7 +543,7 @@ def fused_muzero_search(
       num_hidden_dyn=num_hidden_dyn, num_hidden_pred=num_hidden_pred,
       num_simulations=num_simulations, max_depth=max_depth,
       discount=discount, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
-      support_size=support_size)
+      support_size=support_size, policy=policy, NS=NS)
 
   def row_spec(cols):
     return pl.BlockSpec((T, cols), lambda i: (i, 0),
@@ -439,6 +554,8 @@ def fused_muzero_search(
                         memory_space=pltpu.VMEM)
 
   in_specs = [row_spec(E), row_spec(A), row_spec(1), row_spec(A)]
+  if is_gumbel:
+    in_specs += [row_spec(A), row_spec(NS)]
   in_specs += [const_spec(w.shape) for w in wlist]
 
   visits, value, qvalues = pl.pallas_call(
@@ -471,9 +588,56 @@ def fused_muzero_search(
     root_prior_logits.astype(jnp.float32),
     root_value.astype(jnp.float32)[:, None],
     invalid_actions.astype(jnp.float32),
+    *extra_inputs,
     *wlist)
 
   return visits[:B], value[:B, 0], qvalues[:B]
+
+
+def fused_muzero_search(
+    root_embedding: jax.Array,
+    root_prior_logits: jax.Array,
+    root_value: jax.Array,
+    weights: FusedMLPWeights,
+    **kwargs,
+):
+  """Run the fused MuZero PUCT search. Returns (visit_counts [B, A] f32,
+  root_value [B], root_qvalues [B, A]) — the SearchSummary fields the
+  policies consume."""
+  return _fused_search(root_embedding, root_prior_logits, root_value,
+                       weights, policy="muzero", **kwargs)
+
+
+def fused_gumbel_search(
+    root_embedding: jax.Array,
+    root_prior_logits: jax.Array,   # masked original logits (no noise)
+    root_value: jax.Array,
+    weights: FusedMLPWeights,
+    *,
+    gumbel: jax.Array,              # [B, A] pre-scaled gumbel noise
+    max_num_considered_actions: int,
+    num_simulations: int,
+    invalid_actions: Optional[jax.Array] = None,
+    **kwargs,
+):
+  """Run the fused Gumbel MuZero search (sequential-halving root +
+  improved-policy interior + completed_by_mix_value). Returns
+  (visit_counts [B, A], root_value [B], root_completed_q [B, A])."""
+  from muax_tpu.search import seq_halving
+  A = root_prior_logits.shape[-1]
+  table = jnp.asarray(seq_halving.considered_visit_table(
+      max_num_considered_actions, num_simulations), jnp.float32)
+  if invalid_actions is None:
+    num_valid = jnp.full((root_prior_logits.shape[0],), A, jnp.int32)
+  else:
+    num_valid = jnp.sum(1 - invalid_actions, axis=-1).astype(jnp.int32)
+  num_considered = jnp.minimum(max_num_considered_actions, num_valid)
+  schedule = table[num_considered]                       # [B, S]
+  return _fused_search(
+      root_embedding, root_prior_logits, root_value, weights,
+      policy="gumbel", num_simulations=num_simulations,
+      invalid_actions=invalid_actions,
+      root_score=gumbel + root_prior_logits, schedule=schedule, **kwargs)
 
 
 def fused_mlp_muzero_policy(
@@ -523,4 +687,48 @@ def fused_mlp_muzero_policy(
   action_logits = _apply_temperature(
       _get_logits_from_probs(action_weights), temperature)
   action = jax.random.categorical(sample_rng, action_logits).astype(jnp.int32)
+  return action, action_weights, root_value
+
+
+def fused_mlp_gumbel_policy(
+    params: Any,
+    rng: jax.Array,
+    root,                      # RootFnOutput from make_root_fn
+    weights: FusedMLPWeights,
+    *,
+    num_simulations: int,
+    support_size: int,
+    discount: float,
+    invalid_actions: Optional[jax.Array] = None,
+    max_depth: Optional[jax.Array] = None,
+    max_num_considered_actions: int = 16,
+    gumbel_scale: float = 1.0,
+):
+  """Drop-in for ``policies.gumbel_muzero_policy`` on the fused path.
+
+  Same RNG layout and output semantics: final action = argmax of
+  g + logits + sigma(q-hat) among max-visit actions; action_weights =
+  softmax(logits + completed_q) (policies.py:113-171).
+  """
+  del params
+  from muax_tpu.search.policies import _mask_invalid
+  rng, gumbel_rng, _search_rng = jax.random.split(rng, 3)
+  masked_logits = _mask_invalid(root.prior_logits, invalid_actions)
+  gumbel = gumbel_scale * jax.random.gumbel(
+      gumbel_rng, root.prior_logits.shape, root.prior_logits.dtype)
+
+  visit_counts, root_value, completed_q = fused_gumbel_search(
+      root.embedding, masked_logits, root.value, weights,
+      gumbel=gumbel, max_num_considered_actions=max_num_considered_actions,
+      num_simulations=num_simulations, support_size=support_size,
+      discount=discount, invalid_actions=invalid_actions,
+      max_depth=max_depth)
+
+  considered_visit = jnp.max(visit_counts, axis=-1, keepdims=True)
+  score = jnp.where(visit_counts == considered_visit,
+                    gumbel + masked_logits + completed_q, -jnp.inf)
+  score = _mask_invalid(score, invalid_actions)
+  action = jnp.argmax(score, axis=-1).astype(jnp.int32)
+  action_weights = jax.nn.softmax(
+      _mask_invalid(masked_logits + completed_q, invalid_actions), -1)
   return action, action_weights, root_value

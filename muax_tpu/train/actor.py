@@ -64,12 +64,14 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
   root_fn = make_root_fn(networks)
   recurrent_fn = make_recurrent_fn(networks, discount)
 
-  # The fused Pallas kernel covers the flagship path: MuZero PUCT over the
-  # plain MLP triplet with the integer-support heads. It is compiled on TPU
-  # backends and interpreted on CPU, so the sharded CPU dry-run keeps using
-  # the generic XLA engine (same semantics, test-checked parity).
+  # The fused Pallas kernel covers the flagship paths: MuZero PUCT and
+  # Gumbel MuZero over the plain MLP triplet with the integer-support heads.
+  # It is compiled on TPU backends and interpreted on CPU, so the sharded
+  # CPU dry-run keeps using the generic XLA engine (same semantics,
+  # test-checked parity).
   def _maybe_fused_weights(params):
-    if (search.policy != "muzero" or not getattr(search, "fused", False)
+    if (search.policy not in ("muzero", "gumbel")
+        or not getattr(search, "fused", False)
         or jax.default_backend() == "cpu"
         or not hasattr(networks, "support_size")):
       return None
@@ -79,9 +81,8 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
   def policy_fn(params: MZParams, rng: jax.Array, obs: jax.Array,
                 temperature, invalid_actions=None):
     root = root_fn(params, obs)
-    fused_weights = (_maybe_fused_weights(params)
-                     if search.policy == "muzero" else None)
-    if fused_weights is not None:
+    fused_weights = _maybe_fused_weights(params)
+    if fused_weights is not None and search.policy == "muzero":
       from muax_tpu.search.fused import fused_mlp_muzero_policy
       return fused_mlp_muzero_policy(
           params, rng, root, fused_weights,
@@ -95,6 +96,17 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           pb_c_init=search.pb_c_init,
           pb_c_base=search.pb_c_base,
           temperature=temperature)
+    if fused_weights is not None and search.policy == "gumbel":
+      from muax_tpu.search.fused import fused_mlp_gumbel_policy
+      return fused_mlp_gumbel_policy(
+          params, rng, root, fused_weights,
+          num_simulations=search.num_simulations,
+          support_size=networks.support_size,
+          discount=discount,
+          max_depth=search.max_depth,
+          invalid_actions=invalid_actions,
+          max_num_considered_actions=search.max_num_considered_actions,
+          gumbel_scale=search.gumbel_scale)
     if search.policy == "muzero":
       out = muzero_policy(
           params, rng, root, recurrent_fn,

@@ -27,7 +27,11 @@ def main():
   p.add_argument("--seed", type=int, default=42)
   p.add_argument("--num_iterations", type=int, default=800)
   p.add_argument("--out", type=str, default="PARITY_r02.json")
+  p.add_argument("--cpu", action="store_true",
+                 help="force the CPU backend (reference solves on CPU too)")
   args = p.parse_args()
+  if args.cpu:
+    jax.config.update("jax_platform_name", "cpu")
 
   from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
                                TrainConfig)

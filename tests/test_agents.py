@@ -116,3 +116,40 @@ class TestStochasticMuZeroAgent:
     for name in ("reward_loss", "value_loss", "policy_loss", "chance_loss",
                  "afterstate_value_loss", "commitment_loss"):
       assert np.isfinite(float(getattr(metrics, name))), name
+
+  def test_afterstate_value_indexing_matches_reference(self):
+    """The reference supervises the afterstate value against
+    value_target[:, i-1] in a loop whose decision step is i-1
+    (stochastic_muzero/learning.py:246-252, decision at s_{i-1} with
+    action[:, i-1]); our loop indexes by the decision step directly and
+    uses rn[:, i]. Mirror the reference's loop verbatim over the same
+    networks and check the summed afterstate-value CE is identical —
+    proving the two index conventions are the same quantity."""
+    from muax_tpu.models.stochastic_networks import straight_through_code
+    from muax_tpu.ops import scalar_to_support
+
+    networks = make_stochastic_mlp_networks(2, 4, 16, 10, hidden=(32,))
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    batch = make_batch(jax.random.PRNGKey(1), B=8, L=5)
+    support = networks.support_size
+    L = batch.action.shape[1]
+
+    def ce(logits, target_probs):
+      return -jnp.sum(target_probs * jax.nn.log_softmax(logits, -1), -1)
+
+    # Reference-convention unroll: i runs 1..L-1; the decision happens at
+    # s_{i-1} with action[:, i-1]; av target is value_target[:, i-1].
+    s = networks.representation.apply(params.representation, batch.obs[:, 0])
+    av_ref = jnp.zeros(batch.action.shape[0])
+    for i in range(1, L):
+      code = straight_through_code(
+          networks.encoder.apply(params.encoder, batch.obs[:, i]))
+      ae, c_logit, av = networks.decision.apply(
+          params.decision, s, batch.action[:, i - 1])
+      av_ref += ce(av, scalar_to_support(batch.rn[:, i - 1], support))
+      s, _ = networks.chance.apply(params.chance, ae, code)
+
+    _, metrics = stochastic_muzero_loss(params, batch, networks)
+    np.testing.assert_allclose(
+        float(metrics.afterstate_value_loss),
+        float(jnp.mean(av_ref / L)), rtol=1e-5)

@@ -92,3 +92,74 @@ def test_extract_rejects_foreign_structure():
   networks, params, _ = _setup()
   bad = params._replace(dynamic={"conv": {"w": jnp.zeros((3, 3))}})
   assert extract_fused_weights(networks, bad) is None
+
+
+class TestFusedGumbel:
+  """The gumbel kernel vs policies.gumbel_muzero_policy (interpret mode)."""
+
+  def test_matches_xla_gumbel_search(self):
+    from muax_tpu.search import gumbel_muzero_policy
+    from muax_tpu.search.fused import fused_gumbel_search
+    networks, params, root = _setup(num_actions=4, batch=8)
+    num_simulations = 24
+    discount = 0.97
+    max_considered = 4
+
+    rng = jax.random.PRNGKey(2)
+    out = gumbel_muzero_policy(
+        params, rng, root, make_recurrent_fn(networks, discount),
+        num_simulations=num_simulations,
+        max_num_considered_actions=max_considered, gumbel_scale=1.0)
+    ref_summary = out.search_tree.summary()
+
+    # Same gumbel draw as the XLA policy (same rng split layout).
+    _, gumbel_rng, _ = jax.random.split(rng, 3)
+    gumbel = jax.random.gumbel(gumbel_rng, root.prior_logits.shape,
+                               root.prior_logits.dtype)
+    weights = extract_fused_weights(networks, params)
+    visits, value, completed_q = fused_gumbel_search(
+        root.embedding, root.prior_logits, root.value, weights,
+        gumbel=gumbel, max_num_considered_actions=max_considered,
+        num_simulations=num_simulations,
+        support_size=networks.support_size, discount=discount)
+
+    np.testing.assert_allclose(np.sum(visits, -1),
+                               num_simulations * np.ones(visits.shape[0]))
+    # Sequential halving is deterministic given the gumbel draw: visit
+    # counts must match the XLA engine exactly.
+    np.testing.assert_array_equal(visits,
+                                  np.asarray(ref_summary.visit_counts))
+    np.testing.assert_allclose(value, np.asarray(ref_summary.value),
+                               rtol=1e-3, atol=1e-3)
+
+  def test_policy_output_matches_xla(self):
+    from muax_tpu.search import gumbel_muzero_policy
+    from muax_tpu.search.fused import fused_mlp_gumbel_policy
+    networks, params, root = _setup(num_actions=4, batch=8)
+    rng = jax.random.PRNGKey(5)
+    ref = gumbel_muzero_policy(
+        params, rng, root, make_recurrent_fn(networks, 0.99),
+        num_simulations=16, max_num_considered_actions=4)
+    weights = extract_fused_weights(networks, params)
+    action, action_weights, value = fused_mlp_gumbel_policy(
+        params, rng, root, weights,
+        num_simulations=16, support_size=networks.support_size,
+        discount=0.99, max_num_considered_actions=4)
+    np.testing.assert_array_equal(np.asarray(action), np.asarray(ref.action))
+    np.testing.assert_allclose(np.asarray(action_weights),
+                               np.asarray(ref.action_weights),
+                               rtol=1e-4, atol=1e-5)
+
+  def test_invalid_actions_never_visited(self):
+    from muax_tpu.search.fused import fused_gumbel_search
+    networks, params, root = _setup(num_actions=4, batch=4)
+    weights = extract_fused_weights(networks, params)
+    invalid = jnp.zeros((4, 4)).at[:, 1].set(1.0)
+    gumbel = jax.random.gumbel(jax.random.PRNGKey(0), (4, 4))
+    visits, _, _ = fused_gumbel_search(
+        root.embedding, jnp.where(invalid > 0, -1e9, root.prior_logits),
+        root.value, weights, gumbel=gumbel, max_num_considered_actions=4,
+        num_simulations=12, support_size=networks.support_size,
+        discount=0.99, invalid_actions=invalid)
+    np.testing.assert_allclose(np.sum(visits, -1), 12.0)
+    assert np.all(np.asarray(visits[:, 1]) == 0.0)
