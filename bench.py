@@ -87,12 +87,12 @@ def main():
         train_state, replay_state, env_carry, it_rng)
     float(metrics["loss"])
 
-  # Measure SUSTAINED throughput: enqueue all iterations back-to-back
-  # (donated state chains them on device) and sync ONCE at the end via a
-  # scalar readback. This is how training actually runs — fit() reads
-  # metrics every log_every iterations — so per-dispatch host/tunnel
-  # latency overlaps device compute instead of serializing with it.
-  # Best-of-3 blocks to reject tunnel noise.
+  # Measure SUSTAINED throughput with ONE scalar readback per iteration —
+  # exactly how fit() runs (it syncs metrics each iteration). Deeper
+  # enqueue-only chaining is NOT faster here: the axon tunnel degrades
+  # sharply when many donated-buffer executions queue up (measured 3x
+  # slower at depth 10), so the per-iteration sync is both the honest and
+  # the fast schedule. Best-of-3 blocks to reject tunnel noise.
   def timed_block():
     nonlocal train_state, replay_state, env_carry, rng, metrics
     t0 = time.time()
@@ -100,7 +100,7 @@ def main():
       rng, it_rng = jax.random.split(rng)
       train_state, replay_state, env_carry, metrics = iteration(
           train_state, replay_state, env_carry, it_rng)
-    float(metrics["loss"])  # one sync for the whole block
+      float(metrics["loss"])  # sync this iteration
     return time.time() - t0
 
   dt = min(timed_block() for _ in range(3))

@@ -7,4 +7,9 @@ from muax_tpu.parallel.mesh import (
     data_sharding,
     replicated,
 )
+from muax_tpu.parallel.model_parallel import (
+    make_model_parallel_apply,
+    shard_az_params,
+    sharded_fraction,
+)
 from muax_tpu.parallel.sharded import ShardedProgram, make_sharded_program

@@ -229,6 +229,11 @@ def fit(
     with jax.profiler.StepTraceAnnotation("iteration", step_num=it):
       train_state, replay_state, env_carry, metrics = iteration(
           train_state, replay_state, env_carry, it_rng, True, num_allowed)
+      # One scalar readback per iteration: bounds the async dispatch queue
+      # at depth 1. Tunneled TPU backends degrade sharply when many
+      # donated-buffer executions stack up (bench.py measured 3x), and the
+      # readback costs ~ms against iterations of 100s of ms.
+      float(metrics["loss"])
     timed_steps += env_steps_per_iter
 
     if reanalyze is not None and (it + 1) % reanalyze_every == 0:

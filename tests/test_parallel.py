@@ -120,3 +120,40 @@ class TestShardedProgram:
     program = make_sharded_program(
         networks, env, config, create_optimizer("adam", 1e-3), mesh)
     assert program.reanalyze is None
+
+
+class TestModelParallel:
+  """Channel-sharded AZ resnet over a ('data', 'model') mesh — the tensor-
+  parallel option the reference approximates with manual device_map
+  (run_alphazero.py:136-181)."""
+
+  def test_sharded_apply_matches_replicated(self):
+    from muax_tpu.models.az_networks import make_az_resnet
+    from muax_tpu.parallel import (make_mesh, make_model_parallel_apply,
+                                   shard_az_params, sharded_fraction)
+    from muax_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+    network = make_az_resnet(7, channels=16, num_blocks=2)
+    params = network.init_params(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 6, 7, 2)))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, 6, 7, 2))
+    ref_logits, ref_value = network.apply(params, obs)
+
+    sharded_net_params = shard_az_params(params.network, mesh)
+    # Conv kernels really live channel-split: a [3,3,16,16] kernel has
+    # [., ., ., 4] shards on the 4-way model axis.
+    frac = sharded_fraction(params.network, mesh)
+    assert frac > 0.5, frac
+    some_conv = [x for x in jax.tree.leaves(sharded_net_params)
+                 if x.ndim == 4][0]
+    assert not some_conv.sharding.is_fully_replicated
+    shard_shape = some_conv.sharding.shard_shape(some_conv.shape)
+    assert shard_shape[-1] == some_conv.shape[-1] // 4
+
+    apply = make_model_parallel_apply(network.network, mesh)
+    logits, value = apply(sharded_net_params, obs)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(value), np.asarray(ref_value),
+                               rtol=1e-4, atol=1e-5)
