@@ -33,6 +33,8 @@ def main():
   p.add_argument("--batch_size", type=int, default=512)
   p.add_argument("--updates", type=int, default=8)
   p.add_argument("--iters", type=int, default=10)
+  p.add_argument("--tile", type=int, default=512,
+                 help="fused-kernel batch tile (0 = auto)")
   args = p.parse_args()
 
   from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
@@ -46,7 +48,8 @@ def main():
   # Ring must hold at least one full rollout's segments without wrapping a
   # single add (duplicate scatter indices are unspecified in XLA).
   config = MuZeroConfig(
-      search=SearchConfig(num_simulations=args.num_simulations),
+      search=SearchConfig(num_simulations=args.num_simulations,
+                          batch_tile=args.tile or None),
       replay=ReplayConfig(capacity=max(2048, 2 * args.num_envs), min_fill=64),
       train=TrainConfig(num_envs=args.num_envs,
                         collect_steps=args.collect_steps,

@@ -21,9 +21,13 @@ class SearchConfig:
   gumbel_scale: float = 1.0             # gumbel
   num_chance_outcomes: int = 32         # stochastic codebook size
   # Use the fused Pallas search kernel (search/fused.py) when the network
-  # family supports it (MLP triplet + muzero policy, on a TPU backend);
-  # falls back to the generic XLA engine otherwise.
+  # family supports it (MLP triplet + muzero/gumbel policy, on a TPU
+  # backend); falls back to the generic XLA engine otherwise.
   fused: bool = True
+  # Kernel batch-tile rows per grid step (None = auto from the VMEM
+  # budget). Larger tiles amortize the per-level loop overhead across more
+  # rows; sweep with scripts/tile_sweep.py.
+  batch_tile: Optional[int] = None
 
 
 @dataclasses.dataclass

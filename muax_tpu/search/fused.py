@@ -23,12 +23,14 @@ Semantics deltas vs the XLA engine (documented, test-checked):
   * ELU is computed as ``where(x>0, x, exp(x)-1)`` (Pallas has no expm1);
     bit-identical in f32 for all practical inputs.
 
-Forest layout per batch-tile of T rows (all VMEM scratch, f32/i32):
-  node arrays   [T, NP]       NP = pad(num_simulations+1, 128)
-  child arrays  [T, NP*A]     column n*A+a = stats of edge (node n, action a)
-  embeddings    [E, T, NP]    one plane per embedding feature
+Forest layout per batch-tile of T envs (all VMEM scratch, f32; TRANSPOSED —
+envs on the 128-lane axis, tree entities on the 8-sublane axis so padding
+costs sublane granularity: 65 nodes -> 72 rows, not 128 lanes):
+  node arrays   [NP, T]       NP = pad(num_simulations+1, 8)
+  child arrays  [NP*A, T]     row n*A+a = stats of edge (node n, action a)
+  embeddings    [E, NP, T]    one plane per embedding feature
 
-Per-row node addressing uses one-hot masked vector ops (TPU has no per-row
+Per-env node addressing uses one-hot masked vector ops (TPU has no per-lane
 dynamic gather); in VMEM these run at VPU speed and cost no HBM bandwidth.
 """
 from __future__ import annotations
@@ -135,13 +137,15 @@ def _round_up(x: int, m: int) -> int:
   return ((x + m - 1) // m) * m
 
 
-def _pick_tile(batch: int, bytes_per_row: int,
-               budget: int = 3 * 1024 * 1024) -> int:
-  """Largest tile fitting the VMEM budget, balanced so grid steps divide the
-  batch as evenly as possible (minimizes padded rows)."""
-  tmax = max(8, min(batch, budget // max(bytes_per_row, 1)))
+def _pick_tile(batch: int, bytes_per_env: int,
+               budget: int = 6 * 1024 * 1024) -> int:
+  """Largest lane tile fitting the VMEM budget, balanced so grid steps
+  divide the batch as evenly as possible (minimizes padded lanes). Envs are
+  the LANE axis in the transposed forest layout, so tiles are multiples of
+  128."""
+  tmax = max(128, min(batch, budget // max(bytes_per_env, 1)))
   grid = -(-batch // tmax)
-  return _round_up(-(-batch // grid), 8)
+  return _round_up(-(-batch // grid), 128)
 
 
 def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
@@ -150,17 +154,28 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
                  pb_c_init: float, pb_c_base: float, support_size: int,
                  policy: str = "muzero", NS: int = 0,
                  value_scale: float = 0.1, maxvisit_init: float = 50.0):
-  """Build the kernel body. Weight refs arrive flattened in the order of
-  FusedMLPWeights; see fused_muzero_search for the call layout.
+  """Build the kernel body (TRANSPOSED layout: tree entities on sublanes,
+  environments on lanes).
+
+  Arrays are [entity, T] with T = envs-per-tile on the 128-lane axis and
+  entities (nodes NP / child edges CP = NP*A) on the 8-sublane axis, so
+  padding costs sublane granularity (65 nodes -> 72 rows) instead of lane
+  granularity (65 -> 128 lanes) — ~1.8x less VPU work per tree level than
+  the row layout, which is what the per-level masked passes are bound by in
+  the trained (deep-tree) regime. Inputs/outputs arrive pre-transposed
+  ([feature, B]); the XLA caller pays the cheap one-off transposes.
+
+  Weight refs arrive flattened in the order of FusedMLPWeights with biases
+  reshaped [out, 1]; see _fused_search for the call layout.
 
   ``policy``: 'muzero' (PUCT descent + parent-and-siblings qtransform) or
   'gumbel' (sequential-halving root + improved-policy interior +
   completed-by-mix-value qtransform — policies.gumbel_muzero_policy
   semantics). Gumbel adds two input refs after ``invalid_ref``:
-  root_score_ref [T, A] = gumbel + prior_logits (their only use is summed),
-  sched_ref [T, NS] = per-row considered-visit schedule
+  root_score_ref [A, T] = gumbel + prior_logits (their only use is summed),
+  sched_ref [NS, T] = per-row considered-visit schedule
   (seq_halving.considered_visit_table row for this row's valid-action
-  count), NS = pad(num_simulations, 128).
+  count), NS = pad(num_simulations, 8).
   """
   CP = NP * A
   N = num_simulations + 1
@@ -189,82 +204,87 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
     pred_value = wpair(num_hidden_dyn + 2 + num_hidden_pred)
     pred_policy = wpair(num_hidden_dyn + 3 + num_hidden_pred)
 
-    # All per-row scalars (node indices, actions, masks) are kept as f32
-    # [T, 1] vectors: Mosaic freely lane-replicates reduced f32 vectors for
-    # broadcasting, but not i32/i1 ones ("Invalid relayout" otherwise).
+    def matTx(w, x):
+      """[in, out] x [in, T] -> [out, T] (contract the shared leading dim —
+      the transposed-layout matmul; MXU via dot_general)."""
+      return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    # Per-env scalars (node indices, actions, masks) are [1, T] f32 rows:
+    # sublane broadcast over [NP/CP, T] is the cheap direction on TPU.
     # Indices <= num_nodes are exact in f32.
-    ncol = jax.lax.broadcasted_iota(jnp.int32, (T, NP), 1).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (T, CP), 1).astype(jnp.float32)
-    col_n = jnp.floor(col / A)
-    invalid_cp = jnp.tile(invalid_ref[:], (1, NP))  # col -> invalid[col % A]
+    nrow = jax.lax.broadcasted_iota(jnp.int32, (NP, T), 0).astype(jnp.float32)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (CP, T), 0).astype(jnp.float32)
+    row_n = jnp.floor(crow / A)
+    invalid_cp = jnp.tile(invalid_ref[:], (NP, 1))  # row -> invalid[row % A]
     if is_gumbel:
-      # Schedule columns + the root's (gumbel + prior logits) tiled onto the
-      # child-column layout (only node 0's columns are ever read).
-      scol = (jax.lax.broadcasted_iota(jnp.int32, (T, NS), 1)
+      # Schedule rows + the root's (gumbel + prior logits) tiled onto the
+      # child-edge layout (only node 0's rows are ever read).
+      scol = (jax.lax.broadcasted_iota(jnp.int32, (NS, T), 0)
               .astype(jnp.float32))
-      root_score_cp = jnp.tile(root_score_ref[:], (1, NP))
+      root_score_cp = jnp.tile(root_score_ref[:], (NP, 1))
 
     # ---- forest init (scratch persists across grid steps: assign fully) ----
-    root_col = ncol == 0.0
-    rv = root_value_ref[:]  # [T, 1]
-    nvis_ref[:] = jnp.where(root_col, 1.0, 0.0)
-    nval_ref[:] = jnp.where(root_col, rv, 0.0)
-    nraw_ref[:] = jnp.where(root_col, rv, 0.0)
-    npar_ref[:] = jnp.full((T, NP), -1.0, jnp.float32)
-    nact_ref[:] = jnp.full((T, NP), -1.0, jnp.float32)
-    cidx_ref[:] = jnp.full((T, CP), -1.0, jnp.float32)
+    root_row = nrow == 0.0
+    rv = root_value_ref[:]  # [1, T]
+    nvis_ref[:] = jnp.where(root_row, 1.0, 0.0)
+    nval_ref[:] = jnp.where(root_row, rv, 0.0)
+    nraw_ref[:] = jnp.where(root_row, rv, 0.0)
+    npar_ref[:] = jnp.full((NP, T), -1.0, jnp.float32)
+    nact_ref[:] = jnp.full((NP, T), -1.0, jnp.float32)
+    cidx_ref[:] = jnp.full((CP, T), -1.0, jnp.float32)
     logits = root_logits_ref[:]
-    probs = jax.nn.softmax(logits, axis=-1)
-    cpri_ref[:] = jnp.where(col_n == 0.0, jnp.tile(probs, (1, NP)), 0.0)
-    cvis_ref[:] = jnp.zeros((T, CP), jnp.float32)
-    crew_ref[:] = jnp.zeros((T, CP), jnp.float32)
-    cval_ref[:] = jnp.zeros((T, CP), jnp.float32)
+    probs = jax.nn.softmax(logits, axis=0)
+    cpri_ref[:] = jnp.where(row_n == 0.0, jnp.tile(probs, (NP, 1)), 0.0)
+    cvis_ref[:] = jnp.zeros((CP, T), jnp.float32)
+    crew_ref[:] = jnp.zeros((CP, T), jnp.float32)
+    cval_ref[:] = jnp.zeros((CP, T), jnp.float32)
     for e in range(E):
-      emb_ref[e] = jnp.where(root_col, root_emb_ref[:, e:e + 1], 0.0)
+      emb_ref[e] = jnp.where(root_row, root_emb_ref[e:e + 1, :], 0.0)
 
     def gather_np(ref, oh):
-      return jnp.sum(jnp.where(oh, ref[:], 0.0), axis=-1, keepdims=True)
+      return jnp.sum(jnp.where(oh, ref[:], 0.0), axis=0, keepdims=True)
 
-    # [T, 1] zero with the layout of a cross-lane reduction: while-loop
+    # [1, T] zero with the layout of a cross-sublane reduction: while-loop
     # carries must be layout-consistent with the reduce-produced updates in
-    # the loop body (Mosaic cannot relayout {0,*} -> replicated), so every
-    # carry is initialized from this rather than from a constant.
-    zero_r = jnp.sum(invalid_ref[:] * 0.0, axis=-1, keepdims=True)
+    # the loop body, so every carry is initialized from this.
+    zero_r = jnp.sum(invalid_ref[:] * 0.0, axis=0, keepdims=True)
 
     def decode_support(logits_):
-      p = jax.nn.softmax(logits_, axis=-1)
-      bins = (jax.lax.broadcasted_iota(jnp.int32, (T, S41), 1)
+      """[S41, T] support logits -> [1, T] scalar."""
+      p = jax.nn.softmax(logits_, axis=0)
+      bins = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
               .astype(jnp.float32) - float(support_size))
       return _inv_value_transform(
-          jnp.sum(p * bins, axis=-1, keepdims=True))  # [T, 1]
+          jnp.sum(p * bins, axis=0, keepdims=True))  # [1, T]
 
     def _completed_q(cur):
-      """qtransform_completed_by_mix_value over node ``cur``'s columns:
-      (completed_q [T, CP] valid on colmask, colmask, cvis)."""
-      node_oh = ncol == cur
-      colmask = col_n == cur
-      nraw = gather_np(nraw_ref, node_oh)                     # [T, 1]
+      """qtransform_completed_by_mix_value over node ``cur``'s rows:
+      (completed_q [CP, T] valid on rowmask, rowmask, cvis)."""
+      node_oh = nrow == cur
+      rowmask = row_n == cur
+      nraw = gather_np(nraw_ref, node_oh)                     # [1, T]
       cvis = cvis_ref[:]
       q = crew_ref[:] + discount * cval_ref[:]
-      visited = jnp.logical_and(cvis > 0.0, colmask)
-      pri = jnp.where(colmask, cpri_ref[:], 0.0)
-      sum_visits = jnp.sum(jnp.where(colmask, cvis, 0.0), axis=-1,
+      visited = jnp.logical_and(cvis > 0.0, rowmask)
+      pri = jnp.where(rowmask, cpri_ref[:], 0.0)
+      sum_visits = jnp.sum(jnp.where(rowmask, cvis, 0.0), axis=0,
                            keepdims=True)
       visited_probs = jnp.where(visited, pri, 0.0)
-      sum_probs = jnp.sum(visited_probs, axis=-1, keepdims=True)
-      weighted_q = (jnp.sum(visited_probs * q, axis=-1, keepdims=True)
+      sum_probs = jnp.sum(visited_probs, axis=0, keepdims=True)
+      weighted_q = (jnp.sum(visited_probs * q, axis=0, keepdims=True)
                     / jnp.maximum(sum_probs, 1e-8))
       v_mix = (nraw + sum_visits * weighted_q) / (sum_visits + 1.0)
       completed = jnp.where(visited, q, v_mix)
-      low = jnp.min(jnp.where(colmask, completed, -_NEG), axis=-1,
+      low = jnp.min(jnp.where(rowmask, completed, -_NEG), axis=0,
                     keepdims=True)
-      high = jnp.max(jnp.where(colmask, completed, _NEG), axis=-1,
+      high = jnp.max(jnp.where(rowmask, completed, _NEG), axis=0,
                      keepdims=True)
       completed = (completed - low) / jnp.maximum(high - low, 1e-8)
-      maxvisit = jnp.max(jnp.where(colmask, cvis, 0.0), axis=-1,
+      maxvisit = jnp.max(jnp.where(rowmask, cvis, 0.0), axis=0,
                          keepdims=True)
       cq = (maxvisit_init + maxvisit) * value_scale * completed
-      return cq, colmask, cvis
+      return cq, rowmask, cvis
 
     # ---------------------------- simulation loop -------------------------
     def sim_body(s, _):
@@ -274,17 +294,17 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
 
       def _muzero_score(cur, depth, s):
         """PUCT with qtransform_by_parent_and_siblings (qtransforms.py)."""
-        node_oh = ncol == cur
-        nvisit = gather_np(nvis_ref, node_oh)   # [T, 1]
+        node_oh = nrow == cur
+        nvisit = gather_np(nvis_ref, node_oh)   # [1, T]
         nvalue = gather_np(nval_ref, node_oh)
-        colmask = col_n == cur
+        rowmask = row_n == cur
         cvis = cvis_ref[:]
         q = crew_ref[:] + discount * cval_ref[:]
         visited = cvis > 0.0
         safe_q = jnp.where(visited, q, nvalue)
-        minq = jnp.min(jnp.where(colmask, safe_q, _NEG * -1.0), axis=-1,
+        minq = jnp.min(jnp.where(rowmask, safe_q, _NEG * -1.0), axis=0,
                        keepdims=True)
-        maxq = jnp.max(jnp.where(colmask, safe_q, _NEG), axis=-1,
+        maxq = jnp.max(jnp.where(rowmask, safe_q, _NEG), axis=0,
                        keepdims=True)
         minv = jnp.minimum(nvalue, minq)
         maxv = jnp.maximum(nvalue, maxq)
@@ -295,42 +315,42 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
         score = qn + policy_score
         score = jnp.where(
             jnp.logical_and(depth == 0, invalid_cp > 0.0), _NEG, score)
-        return jnp.where(colmask, score, _NEG)
+        return jnp.where(rowmask, score, _NEG)
 
       def _gumbel_root_score(s):
         """Sequential halving at the root: among actions whose visit count
         equals the schedule, g + logits + sigma(q-hat)
         (action_selection.py:77-103)."""
-        cq, colmask, cvis = _completed_q(zero_r)
+        cq, rowmask, cvis = _completed_q(zero_r)
         sched = jnp.sum(
             jnp.where(scol == s.astype(jnp.float32), sched_ref[:], 0.0),
-            axis=-1, keepdims=True)                           # [T, 1]
+            axis=0, keepdims=True)                           # [1, T]
         score = jnp.where(cvis == sched, root_score_cp + cq, _NEG)
         score = jnp.where(invalid_cp > 0.0, _NEG, score)
-        return jnp.where(colmask, score, _NEG)
+        return jnp.where(rowmask, score, _NEG)
 
       def _gumbel_interior_score(cur):
         """Improved-policy tracking pi' - n/(1+N) with completed_by_mix
         (action_selection.py:106-128)."""
-        cq, colmask, cvis = _completed_q(cur)
+        cq, rowmask, cvis = _completed_q(cur)
         logp = jnp.log(jnp.maximum(cpri_ref[:], 1e-30)) + cq
-        m = jnp.max(jnp.where(colmask, logp, _NEG), axis=-1,
+        m = jnp.max(jnp.where(rowmask, logp, _NEG), axis=0,
                     keepdims=True)
-        e = jnp.where(colmask, jnp.exp(logp - m), 0.0)
-        probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
-        sum_visits = jnp.sum(jnp.where(colmask, cvis, 0.0), axis=-1,
+        e = jnp.where(rowmask, jnp.exp(logp - m), 0.0)
+        probs = e / jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-30)
+        sum_visits = jnp.sum(jnp.where(rowmask, cvis, 0.0), axis=0,
                              keepdims=True)
         score = probs - cvis / (1.0 + sum_visits)
-        return jnp.where(colmask, score, _NEG)
+        return jnp.where(rowmask, score, _NEG)
 
       def _select(score):
-        """argmax as max + lowest matching column (ties -> first).
-        Returns (best column [T,1], action [T,1], child index [T,1])."""
-        m = jnp.max(score, axis=-1, keepdims=True)
-        best = jnp.min(jnp.where(score >= m, col, 3e7), axis=-1,
-                       keepdims=True)                    # [T, 1] f32
+        """argmax as max + lowest matching row (ties -> first).
+        Returns (best row [1,T], action [1,T], child index [1,T])."""
+        m = jnp.max(score, axis=0, keepdims=True)
+        best = jnp.min(jnp.where(score >= m, crow, 3e7), axis=0,
+                       keepdims=True)                    # [1, T] f32
         a = best - jnp.floor(best / A) * A
-        child = jnp.sum(jnp.where(col == best, cidx_ref[:], 0.0), axis=-1,
+        child = jnp.sum(jnp.where(crow == best, cidx_ref[:], 0.0), axis=0,
                         keepdims=True)
         return best, a, child
 
@@ -365,45 +385,38 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
       # slot: fresh node s+1 unless the depth cap stopped on an existing
       # child (then re-evaluate that node; core.search body semantics)
       edge = parent * A + act
-      edge_mask = col == edge
-      existing = jnp.sum(jnp.where(edge_mask, cidx_ref[:], 0.0), axis=-1,
+      edge_mask = crow == edge
+      existing = jnp.sum(jnp.where(edge_mask, cidx_ref[:], 0.0), axis=0,
                          keepdims=True)
       slot = jnp.where(existing < 0.0, (s + 1).astype(jnp.float32),
-                       existing)  # [T, 1]
+                       existing)  # [1, T]
 
       # -- expand: MLP dynamics + prediction on the MXU -------------------
-      parent_oh = ncol == parent
-      emb_cols = [jnp.sum(jnp.where(parent_oh, emb_ref[e], 0.0),
-                          axis=-1, keepdims=True) for e in range(E)]
-      emb = jnp.concatenate(emb_cols, axis=1)  # [T, E]
-      a_oh = (jax.lax.broadcasted_iota(jnp.int32, (T, A), 1)
+      parent_oh = nrow == parent
+      emb = jnp.concatenate(
+          [jnp.sum(jnp.where(parent_oh, emb_ref[e], 0.0), axis=0,
+                   keepdims=True) for e in range(E)], axis=0)  # [E, T]
+      a_oh = (jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
               .astype(jnp.float32) == act).astype(jnp.float32)
       w0, b0 = dyn_hidden[0]
-      h = (jnp.dot(emb, w0[:E], preferred_element_type=jnp.float32)
-           + jnp.dot(a_oh, w0[E:], preferred_element_type=jnp.float32) + b0)
+      h = matTx(w0[:E], emb) + matTx(w0[E:], a_oh) + b0
       h = _elu(h)
       for w, b in dyn_hidden[1:]:
-        h = _elu(jnp.dot(h, w, preferred_element_type=jnp.float32) + b)
-      reward = decode_support(
-          jnp.dot(h, dyn_reward[0], preferred_element_type=jnp.float32)
-          + dyn_reward[1])
-      ns = (jnp.dot(h, dyn_state[0], preferred_element_type=jnp.float32)
-            + dyn_state[1])
-      ns_min = jnp.min(ns, axis=-1, keepdims=True)
-      ns_max = jnp.max(ns, axis=-1, keepdims=True)
+        h = _elu(matTx(w, h) + b)
+      reward = decode_support(matTx(dyn_reward[0], h) + dyn_reward[1])
+      ns = matTx(dyn_state[0], h) + dyn_state[1]           # [E, T]
+      ns_min = jnp.min(ns, axis=0, keepdims=True)
+      ns_max = jnp.max(ns, axis=0, keepdims=True)
       ns = (ns - ns_min) / jnp.maximum(ns_max - ns_min, 1e-8)
       g = ns
       for w, b in pred_hidden:
-        g = _elu(jnp.dot(g, w, preferred_element_type=jnp.float32) + b)
-      value = decode_support(
-          jnp.dot(g, pred_value[0], preferred_element_type=jnp.float32)
-          + pred_value[1])
-      pol = (jnp.dot(g, pred_policy[0], preferred_element_type=jnp.float32)
-             + pred_policy[1])
-      pol = jax.nn.softmax(pol, axis=-1)  # prior probs [T, A]
+        g = _elu(matTx(w, g) + b)
+      value = decode_support(matTx(pred_value[0], g) + pred_value[1])
+      pol = matTx(pred_policy[0], g) + pred_policy[1]
+      pol = jax.nn.softmax(pol, axis=0)  # prior probs [A, T]
 
       # -- install the node (update_tree_node semantics: running-mean) ----
-      slot_oh = ncol == slot
+      slot_oh = nrow == slot
       count = gather_np(nvis_ref, slot_oh)
       oldv = gather_np(nval_ref, slot_oh)
       blended = (oldv * count + value) / (count + 1.0)
@@ -412,12 +425,12 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
       nraw_ref[:] = jnp.where(slot_oh, value, nraw_ref[:])
       npar_ref[:] = jnp.where(slot_oh, parent, npar_ref[:])
       nact_ref[:] = jnp.where(slot_oh, act, nact_ref[:])
-      slot_cols = col_n == slot
-      cpri_ref[:] = jnp.where(slot_cols, jnp.tile(pol, (1, NP)), cpri_ref[:])
+      slot_rows = row_n == slot
+      cpri_ref[:] = jnp.where(slot_rows, jnp.tile(pol, (NP, 1)), cpri_ref[:])
       crew_ref[:] = jnp.where(edge_mask, reward, crew_ref[:])
       cidx_ref[:] = jnp.where(edge_mask, slot, cidx_ref[:])
       for e in range(E):
-        emb_ref[e] = jnp.where(slot_oh, ns[:, e:e + 1], emb_ref[e])
+        emb_ref[e] = jnp.where(slot_oh, ns[e:e + 1, :], emb_ref[e])
 
       # -- backup along parent pointers ------------------------------------
       def b_cond(c):
@@ -425,16 +438,16 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
 
       def b_body(c):
         idx, v = c
-        activeb = jnp.where(idx != 0.0, 1.0, 0.0)   # [T, 1] f32
-        idx_oh = ncol == idx
-        par = jnp.sum(jnp.where(idx_oh, npar_ref[:], 0.0), axis=-1,
+        activeb = jnp.where(idx != 0.0, 1.0, 0.0)   # [1, T] f32
+        idx_oh = nrow == idx
+        par = jnp.sum(jnp.where(idx_oh, npar_ref[:], 0.0), axis=0,
                       keepdims=True)
-        a_b = jnp.sum(jnp.where(idx_oh, nact_ref[:], 0.0), axis=-1,
+        a_b = jnp.sum(jnp.where(idx_oh, nact_ref[:], 0.0), axis=0,
                       keepdims=True)
-        par_oh = ncol == par
+        par_oh = nrow == par
         cnt = gather_np(nvis_ref, par_oh)
-        em = col == (par * A + a_b)
-        r = jnp.sum(jnp.where(em, crew_ref[:], 0.0), axis=-1, keepdims=True)
+        em = crow == (par * A + a_b)
+        r = jnp.sum(jnp.where(em, crew_ref[:], 0.0), axis=0, keepdims=True)
         vnew = r + discount * v
         pval = (gather_np(nval_ref, par_oh) * cnt + vnew) / (cnt + 1.0)
         child_val = gather_np(nval_ref, idx_oh)
@@ -455,16 +468,15 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
     jax.lax.fori_loop(0, num_simulations, sim_body, 0)
 
     # ---- root summary ----------------------------------------------------
-    cvis = cvis_ref[:]
-    out_visits_ref[:] = cvis[:, :A]
-    out_value_ref[:] = nval_ref[:, :1]
+    out_visits_ref[:] = cvis_ref[:A, :]
+    out_value_ref[:] = nval_ref[:1, :]
     if is_gumbel:
       # Gumbel consumers need sigma(q-hat) at the root (action weights are
       # softmax(logits + completed_q), policies.py:166-171).
       cq_root, _, _ = _completed_q(zero_r)
-      out_q_ref[:] = cq_root[:, :A]
+      out_q_ref[:] = cq_root[:A, :]
     else:
-      out_q_ref[:] = crew_ref[:, :A] + discount * cval_ref[:, :A]
+      out_q_ref[:] = crew_ref[:A, :] + discount * cval_ref[:A, :]
 
   return kernel
 
@@ -490,14 +502,19 @@ def _fused_search(
 ):
   """Shared driver for the fused kernels. Returns (visit_counts [B, A] f32,
   root_value [B], root_q [B, A]) — root_q is raw r+gamma*v for 'muzero' and
-  the completed/transformed sigma(q-hat) for 'gumbel'."""
+  the completed/transformed sigma(q-hat) for 'gumbel'.
+
+  Public arrays are env-major [B, ...]; the kernel runs the TRANSPOSED
+  forest layout (envs on lanes), so inputs/outputs are transposed here —
+  cheap one-off XLA transposes outside the hot loop.
+  """
   B, E = root_embedding.shape
   A = root_prior_logits.shape[-1]
   S41 = 2 * support_size + 1
   N = num_simulations + 1
-  NP = _round_up(N, 128)
+  NP = _round_up(N, 8)       # nodes on sublanes
   CP = NP * A
-  NS = _round_up(num_simulations, 128)
+  NS = _round_up(num_simulations, 8)
   if max_depth is None:
     max_depth = num_simulations
   if invalid_actions is None:
@@ -506,28 +523,24 @@ def _fused_search(
     interpret = jax.default_backend() == "cpu"
   is_gumbel = policy == "gumbel"
 
-  bytes_per_row = 4 * (5 * NP + 5 * CP + E * NP)
-  T = batch_tile or _pick_tile(B, bytes_per_row)
+  bytes_per_env = 4 * (5 * NP + 5 * CP + E * NP)
+  T = batch_tile or _pick_tile(B, bytes_per_env)
   G = -(-B // T)  # grid steps
   BP = G * T
-  extra_inputs = []
+
+  # Transpose to [feature, B] kernel layout.
+  inputs = [root_embedding.astype(jnp.float32).T,
+            root_prior_logits.astype(jnp.float32).T,
+            root_value.astype(jnp.float32)[None, :],
+            invalid_actions.astype(jnp.float32).T]
   if is_gumbel:
-    sched_padded = jnp.zeros((B, NS), jnp.float32)
-    sched_padded = sched_padded.at[:, :schedule.shape[1]].set(
-        schedule.astype(jnp.float32))
-    extra_inputs = [root_score.astype(jnp.float32), sched_padded]
+    sched_padded = jnp.zeros((NS, B), jnp.float32)
+    sched_padded = sched_padded.at[:schedule.shape[1], :].set(
+        schedule.astype(jnp.float32).T)
+    inputs += [root_score.astype(jnp.float32).T, sched_padded]
   if BP != B:
     pad = BP - B
-
-    def pad0(x):
-      return jnp.concatenate(
-          [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-
-    root_embedding = pad0(root_embedding)
-    root_prior_logits = pad0(root_prior_logits)
-    root_value = pad0(root_value)
-    invalid_actions = pad0(invalid_actions)
-    extra_inputs = [pad0(x) for x in extra_inputs]
+    inputs = [jnp.pad(x, ((0, 0), (0, pad))) for x in inputs]
 
   num_hidden_dyn = len(weights.dyn_hidden)
   num_hidden_pred = len(weights.pred_hidden)
@@ -536,7 +549,10 @@ def _fused_search(
                + [weights.dyn_reward, weights.dyn_state]
                + list(weights.pred_hidden)
                + [weights.pred_value, weights.pred_policy]):
-    wlist.extend([pair[0].astype(jnp.float32), pair[1].astype(jnp.float32)])
+    # Weights stay [in, out] (the kernel contracts the leading dim);
+    # biases become columns [out, 1].
+    wlist.extend([pair[0].astype(jnp.float32),
+                  jnp.reshape(pair[1].astype(jnp.float32), (-1, 1))])
 
   kernel = _make_kernel(
       T=T, NP=NP, A=A, E=E, S41=S41,
@@ -545,53 +561,48 @@ def _fused_search(
       discount=discount, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
       support_size=support_size, policy=policy, NS=NS)
 
-  def row_spec(cols):
-    return pl.BlockSpec((T, cols), lambda i: (i, 0),
+  def col_spec(rows):
+    return pl.BlockSpec((rows, T), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
   def const_spec(shape):
     return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
 
-  in_specs = [row_spec(E), row_spec(A), row_spec(1), row_spec(A)]
+  in_specs = [col_spec(E), col_spec(A), col_spec(1), col_spec(A)]
   if is_gumbel:
-    in_specs += [row_spec(A), row_spec(NS)]
+    in_specs += [col_spec(A), col_spec(NS)]
   in_specs += [const_spec(w.shape) for w in wlist]
 
   visits, value, qvalues = pl.pallas_call(
       kernel,
       grid=(G,),
       in_specs=in_specs,
-      out_specs=(row_spec(A), row_spec(1), row_spec(A)),
+      out_specs=(col_spec(A), col_spec(1), col_spec(A)),
       out_shape=(
-          jax.ShapeDtypeStruct((BP, A), jnp.float32),
-          jax.ShapeDtypeStruct((BP, 1), jnp.float32),
-          jax.ShapeDtypeStruct((BP, A), jnp.float32),
+          jax.ShapeDtypeStruct((A, BP), jnp.float32),
+          jax.ShapeDtypeStruct((1, BP), jnp.float32),
+          jax.ShapeDtypeStruct((A, BP), jnp.float32),
       ),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       scratch_shapes=[
-          pltpu.VMEM((T, NP), jnp.float32),   # node visits
-          pltpu.VMEM((T, NP), jnp.float32),   # node values
-          pltpu.VMEM((T, NP), jnp.float32),   # node raw values
-          pltpu.VMEM((T, NP), jnp.float32),   # parents (f32 indices — exact)
-          pltpu.VMEM((T, NP), jnp.float32),   # action from parent
-          pltpu.VMEM((T, CP), jnp.float32),   # children index
-          pltpu.VMEM((T, CP), jnp.float32),   # children prior probs
-          pltpu.VMEM((T, CP), jnp.float32),   # children visits
-          pltpu.VMEM((T, CP), jnp.float32),   # children rewards
-          pltpu.VMEM((T, CP), jnp.float32),   # children values
-          pltpu.VMEM((E, T, NP), jnp.float32),  # embeddings (per-feature)
+          pltpu.VMEM((NP, T), jnp.float32),   # node visits
+          pltpu.VMEM((NP, T), jnp.float32),   # node values
+          pltpu.VMEM((NP, T), jnp.float32),   # node raw values
+          pltpu.VMEM((NP, T), jnp.float32),   # parents (f32 indices — exact)
+          pltpu.VMEM((NP, T), jnp.float32),   # action from parent
+          pltpu.VMEM((CP, T), jnp.float32),   # children index
+          pltpu.VMEM((CP, T), jnp.float32),   # children prior probs
+          pltpu.VMEM((CP, T), jnp.float32),   # children visits
+          pltpu.VMEM((CP, T), jnp.float32),   # children rewards
+          pltpu.VMEM((CP, T), jnp.float32),   # children values
+          pltpu.VMEM((E, NP, T), jnp.float32),  # embeddings (per-feature)
       ],
       interpret=interpret,
-  )(root_embedding.astype(jnp.float32),
-    root_prior_logits.astype(jnp.float32),
-    root_value.astype(jnp.float32)[:, None],
-    invalid_actions.astype(jnp.float32),
-    *extra_inputs,
-    *wlist)
+  )(*inputs, *wlist)
 
-  return visits[:B], value[:B, 0], qvalues[:B]
+  return visits[:, :B].T, value[0, :B], qvalues[:, :B].T
 
 
 def fused_muzero_search(
@@ -656,6 +667,7 @@ def fused_mlp_muzero_policy(
     pb_c_init: float = 1.25,
     pb_c_base: float = 19652.0,
     temperature=1.0,
+    batch_tile: Optional[int] = None,
 ):
   """Drop-in for ``policies.muzero_policy`` on the fused path.
 
@@ -678,7 +690,8 @@ def fused_mlp_muzero_policy(
       root.embedding, noised_logits, root.value, weights,
       num_simulations=num_simulations, support_size=support_size,
       discount=discount, invalid_actions=invalid_actions,
-      max_depth=max_depth, pb_c_init=pb_c_init, pb_c_base=pb_c_base)
+      max_depth=max_depth, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
+      batch_tile=batch_tile)
 
   total = jnp.sum(visit_counts, axis=-1, keepdims=True)
   action_weights = jnp.where(
@@ -703,6 +716,7 @@ def fused_mlp_gumbel_policy(
     max_depth: Optional[jax.Array] = None,
     max_num_considered_actions: int = 16,
     gumbel_scale: float = 1.0,
+    batch_tile: Optional[int] = None,
 ):
   """Drop-in for ``policies.gumbel_muzero_policy`` on the fused path.
 
@@ -722,7 +736,7 @@ def fused_mlp_gumbel_policy(
       gumbel=gumbel, max_num_considered_actions=max_num_considered_actions,
       num_simulations=num_simulations, support_size=support_size,
       discount=discount, invalid_actions=invalid_actions,
-      max_depth=max_depth)
+      max_depth=max_depth, batch_tile=batch_tile)
 
   considered_visit = jnp.max(visit_counts, axis=-1, keepdims=True)
   score = jnp.where(visit_counts == considered_visit,

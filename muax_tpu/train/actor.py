@@ -95,7 +95,8 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           dirichlet_alpha=search.dirichlet_alpha,
           pb_c_init=search.pb_c_init,
           pb_c_base=search.pb_c_base,
-          temperature=temperature)
+          temperature=temperature,
+          batch_tile=getattr(search, "batch_tile", None))
     if fused_weights is not None and search.policy == "gumbel":
       from muax_tpu.search.fused import fused_mlp_gumbel_policy
       return fused_mlp_gumbel_policy(
@@ -106,7 +107,8 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
           max_depth=search.max_depth,
           invalid_actions=invalid_actions,
           max_num_considered_actions=search.max_num_considered_actions,
-          gumbel_scale=search.gumbel_scale)
+          gumbel_scale=search.gumbel_scale,
+          batch_tile=getattr(search, "batch_tile", None))
     if search.policy == "muzero":
       out = muzero_policy(
           params, rng, root, recurrent_fn,

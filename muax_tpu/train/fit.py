@@ -191,13 +191,17 @@ def fit(
     steps_inserted = c.get("steps_inserted", steps_inserted)
     windows_sampled = c.get("windows_sampled", 0)
     history = list(c.get("history", []))
+    resumed_warmup_episodes = c.get("warmup_episodes", 0)
     log_fn(f"[muax_tpu] resumed from {resume_from} at iteration {start_it}")
-  else:
+  warmup_episodes = (resumed_warmup_episodes
+                     if resume_from is not None else 0)
+  if resume_from is None:
     # --- buffer warm-up (train.py:146-173) ---
     for _ in range(warm_iters):
       rng, it_rng = jax.random.split(rng)
-      train_state, replay_state, env_carry, _ = iteration(
+      train_state, replay_state, env_carry, wm = iteration(
           train_state, replay_state, env_carry, it_rng, False)
+      warmup_episodes += int(wm["episodes_finished"])
 
   t_start = time.time()
   timed_steps = 0
@@ -285,7 +289,8 @@ def fit(
           env_carry=env_carry, rng=rng, iteration=it + 1,
           counters=dict(best_reward=best_reward, best_path=best_path,
                         steps_inserted=steps_inserted,
-                        windows_sampled=windows_sampled, history=history))
+                        windows_sampled=windows_sampled, history=history,
+                        warmup_episodes=warmup_episodes))
       # 'latest' pointer as a hardlink (free) + bounded retention, the
       # reference Checkpointer's max_to_keep behavior (tf/mcts/learning.py:
       # 56-76).
@@ -302,6 +307,7 @@ def fit(
 
   return train_state, {
       "model_path": best_path,
+      "warmup_episodes": warmup_episodes,
       "best_reward": best_reward,
       "history": history,
   }

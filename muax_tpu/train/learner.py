@@ -61,6 +61,10 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
           priority_alpha=config.replay.priority_alpha)
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(train_state.params)
+    # No-op unless utils.set_check_numerics(True) was called before tracing
+    # (the reference's check_numerics guard, tf/mcts/search.py:744-747).
+    from muax_tpu.utils.debug import check_numerics
+    grads = check_numerics(grads, "grads")
     if axis_name is not None:
       grads = jax.lax.pmean(grads, axis_name)
     updates, opt_state = optimizer.update(grads, train_state.opt_state,

@@ -39,10 +39,13 @@ def main():
   from muax_tpu.models import make_mlp_networks, muzero_optimizer
   from muax_tpu.train.fit import fit
 
+  # Episode-frugal vectorized layout: 8 envs x 20 steps per iteration with
+  # a minimal warm-up, so the ~20-step random episodes at the start don't
+  # eat the 500-episode budget the reference's single-env loop enjoys.
   config = MuZeroConfig(
       search=SearchConfig(policy="muzero", num_simulations=50),
-      replay=ReplayConfig(capacity=2048, min_fill=64, priority_alpha=0.5),
-      train=TrainConfig(num_envs=16, collect_steps=25, batch_size=256,
+      replay=ReplayConfig(capacity=2048, min_fill=8, priority_alpha=0.5),
+      train=TrainConfig(num_envs=8, collect_steps=20, batch_size=256,
                         updates_per_iteration=64, unroll_steps=10,
                         n_bootstrap=10, discount=0.997))
   networks = make_mlp_networks(num_actions=2, embedding_dim=10,
@@ -60,7 +63,7 @@ def main():
       target_reward=500.0, log_fn=lambda m: print(m, flush=True))
   wall = time.time() - t0
 
-  episodes = 0
+  episodes = int(results.get("warmup_episodes", 0))
   episodes_at_solve = None
   solve_iteration = None
   curve = []
@@ -82,6 +85,7 @@ def main():
       "solved": episodes_at_solve is not None,
       "episodes_to_solve": episodes_at_solve,
       "solve_iteration": solve_iteration,
+      "warmup_episodes": int(results.get("warmup_episodes", 0)),
       "total_episodes": episodes,
       "best_test_G": results["best_reward"],
       "wall_seconds": round(wall, 1),
