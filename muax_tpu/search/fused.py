@@ -119,6 +119,136 @@ def extract_fused_weights(networks, params) -> Optional[FusedMLPWeights]:
       pred_hidden=tuple(p_hidden), pred_value=p_value, pred_policy=p_policy)
 
 
+class FusedNetSpec(NamedTuple):
+  """Generic tower program for the fused kernel.
+
+  ``dyn_layers`` / ``pred_layers``: tuples of ("elu", (w, b)) or
+  ("ln_tanh", (w, b, scale, offset)) hidden layers (the acme LayerNormMLP
+  idiom: Linear -> LayerNorm -> tanh first, Linear -> elu after,
+  models/acme_networks.py). Heads are plain linears. ``decode``:
+  "h_support" (integer h-transform two-hot, ops/support.py) or "linear"
+  (vmin..vmax two-hot, rlax transform_from_2hot convention).
+  """
+  dyn_layers: tuple
+  pred_layers: tuple
+  dyn_reward: tuple   # (w, b)
+  dyn_state: tuple
+  pred_value: tuple
+  pred_policy: tuple
+  decode: str
+  num_bins: int       # total support width (2S+1 for h_support)
+  support_size: int   # h_support only
+  vmin: float
+  vmax: float
+
+
+def _mlp_weights_to_spec(weights: FusedMLPWeights,
+                         support_size: int) -> FusedNetSpec:
+  return FusedNetSpec(
+      dyn_layers=tuple(("elu", pair) for pair in weights.dyn_hidden),
+      pred_layers=tuple(("elu", pair) for pair in weights.pred_hidden),
+      dyn_reward=weights.dyn_reward, dyn_state=weights.dyn_state,
+      pred_value=weights.pred_value, pred_policy=weights.pred_policy,
+      decode="h_support", num_bins=2 * support_size + 1,
+      support_size=support_size, vmin=0.0, vmax=0.0)
+
+
+def _sorted_modules(module_params, prefix):
+  """('linear'|'layer_norm') params in creation order; None on surprises."""
+  out = {}
+  for key, val in dict(module_params).items():
+    if key == prefix:
+      idx = 0
+    elif key.startswith(prefix + "_"):
+      try:
+        idx = int(key[len(prefix) + 1:])
+      except ValueError:
+        return None
+    else:
+      continue
+    out[idx] = val
+  return [out[i] for i in range(len(out))] if out else []
+
+
+def extract_categorical_fused_weights(networks, params
+                                      ) -> Optional[FusedNetSpec]:
+  """Build a FusedNetSpec for the acme-style categorical family
+  (models/acme_networks.make_categorical_mlp_networks: LayerNormMLP towers
+  + linear two-hot heads). Returns None when the structure doesn't match
+  (then the caller falls back to the XLA engine)."""
+  num_actions = getattr(networks, "num_actions", None)
+  num_bins = getattr(networks, "num_bins", None)
+  if num_actions is None or num_bins is None or num_bins == num_actions:
+    return None
+
+  def parse_tower(module_params, num_heads):
+    linears = _sorted_modules(module_params, "linear")
+    lns = _sorted_modules(module_params, "layer_norm")
+    if linears is None or lns is None or len(linears) < num_heads:
+      return None
+    try:
+      linears = [(jnp.asarray(m["w"]), jnp.reshape(jnp.asarray(m["b"]),
+                                                   (1, -1)))
+                 for m in linears]
+      lns = [(jnp.reshape(jnp.asarray(m["scale"]), (1, -1)),
+              jnp.reshape(jnp.asarray(m["offset"]), (1, -1)))
+             for m in lns]
+    except (KeyError, TypeError):
+      return None
+    if len(lns) > 1 or any(w.ndim != 2 for w, _ in linears):
+      return None
+    hidden = linears[:len(linears) - num_heads]
+    heads = linears[len(linears) - num_heads:]
+    layers = []
+    for i, pair in enumerate(hidden):
+      if i == 0 and lns:
+        layers.append(("ln_tanh", pair + lns[0]))
+      else:
+        layers.append(("elu", pair))
+    # Identify heads by output width (creation order differs per family).
+    by_width = {}
+    for w, b in heads:
+      by_width.setdefault(w.shape[1], []).append((w, b))
+    return tuple(layers), by_width
+
+  embedding_dim = None
+  dyn = params.dynamic
+  pred = params.prediction
+  # dynamic heads: reward [*, bins], next state [*, E]
+  parsed_dyn = parse_tower(dyn, 2)
+  if parsed_dyn is None:
+    return None
+  dyn_layers, dyn_heads = parsed_dyn
+  reward_heads = dyn_heads.get(num_bins)
+  other = [v for k, v in dyn_heads.items() if k != num_bins]
+  if not reward_heads or len(reward_heads) != 1 or len(other) != 1 or len(
+      other[0]) != 1:
+    return None
+  dyn_reward = reward_heads[0]
+  dyn_state = other[0][0]
+  embedding_dim = dyn_state[0].shape[1]
+  if not dyn_layers or dyn_layers[0][1][0].shape[0] != (embedding_dim
+                                                        + num_actions):
+    return None
+
+  parsed_pred = parse_tower(pred, 2)
+  if parsed_pred is None:
+    return None
+  pred_layers, pred_heads = parsed_pred
+  val = pred_heads.get(num_bins)
+  pol = pred_heads.get(num_actions)
+  if not val or not pol or len(val) != 1 or len(pol) != 1:
+    return None
+  if pred_layers and pred_layers[0][1][0].shape[0] != embedding_dim:
+    return None
+  return FusedNetSpec(
+      dyn_layers=dyn_layers, pred_layers=pred_layers,
+      dyn_reward=dyn_reward, dyn_state=dyn_state,
+      pred_value=val[0], pred_policy=pol[0],
+      decode="linear", num_bins=num_bins, support_size=0,
+      vmin=float(networks.vmin), vmax=float(networks.vmax))
+
+
 def _elu(x):
   return jnp.where(x > 0, x, jnp.exp(x) - 1.0)
 
@@ -149,9 +279,11 @@ def _pick_tile(batch: int, bytes_per_env: int,
 
 
 def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
-                 num_hidden_dyn: int, num_hidden_pred: int,
+                 dyn_kinds: tuple, pred_kinds: tuple,
                  num_simulations: int, max_depth: int, discount: float,
                  pb_c_init: float, pb_c_base: float, support_size: int,
+                 decode: str = "h_support", vmin: float = 0.0,
+                 vmax: float = 0.0,
                  policy: str = "muzero", NS: int = 0,
                  value_scale: float = 0.1, maxvisit_init: float = 50.0):
   """Build the kernel body (TRANSPOSED layout: tree entities on sublanes,
@@ -165,8 +297,11 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
   the trained (deep-tree) regime. Inputs/outputs arrive pre-transposed
   ([feature, B]); the XLA caller pays the cheap one-off transposes.
 
-  Weight refs arrive flattened in the order of FusedMLPWeights with biases
-  reshaped [out, 1]; see _fused_search for the call layout.
+  Weight refs arrive flattened in FusedNetSpec order (per hidden layer:
+  w, b for "elu"; w, b, ln_scale, ln_offset for "ln_tanh"; then the four
+  heads) with vectors reshaped [out, 1]; see _fused_search for the call
+  layout. ``decode`` selects the value-head convention: integer h-transform
+  support or linear [vmin, vmax] two-hot (acme CategoricalCriticHead).
 
   ``policy``: 'muzero' (PUCT descent + parent-and-siblings qtransform) or
   'gumbel' (sequential-halving root + improved-policy interior +
@@ -187,22 +322,28 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
     if is_gumbel:
       root_score_ref, sched_ref = refs[4:6]
       base = 6
-    wrefs = refs[base:base + 2 * (num_hidden_dyn + num_hidden_pred + 4)]
+    n_wrefs = (sum(2 if k == "elu" else 4 for k in dyn_kinds + pred_kinds)
+               + 8)
+    wrefs = list(refs[base:base + n_wrefs])
     out_visits_ref, out_value_ref, out_q_ref = refs[
-        base + len(wrefs):base + 3 + len(wrefs)]
+        base + n_wrefs:base + 3 + n_wrefs]
     (nvis_ref, nval_ref, nraw_ref, npar_ref, nact_ref,
      cidx_ref, cpri_ref, cvis_ref, crew_ref, cval_ref,
-     emb_ref) = refs[base + 3 + len(wrefs):]
+     emb_ref) = refs[base + 3 + n_wrefs:]
 
-    def wpair(i):
-      return wrefs[2 * i][:], wrefs[2 * i + 1][:]
-    dyn_hidden = [wpair(i) for i in range(num_hidden_dyn)]
-    dyn_reward = wpair(num_hidden_dyn)
-    dyn_state = wpair(num_hidden_dyn + 1)
-    pred_hidden = [wpair(num_hidden_dyn + 2 + i)
-                   for i in range(num_hidden_pred)]
-    pred_value = wpair(num_hidden_dyn + 2 + num_hidden_pred)
-    pred_policy = wpair(num_hidden_dyn + 3 + num_hidden_pred)
+    cursor = [0]
+
+    def take(n):
+      vals = tuple(r[:] for r in wrefs[cursor[0]:cursor[0] + n])
+      cursor[0] += n
+      return vals
+
+    dyn_layers = [(k, take(2 if k == "elu" else 4)) for k in dyn_kinds]
+    dyn_reward = take(2)
+    dyn_state = take(2)
+    pred_layers = [(k, take(2 if k == "elu" else 4)) for k in pred_kinds]
+    pred_value = take(2)
+    pred_policy = take(2)
 
     def matTx(w, x):
       """[in, out] x [in, T] -> [out, T] (contract the shared leading dim —
@@ -251,12 +392,39 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
     zero_r = jnp.sum(invalid_ref[:] * 0.0, axis=0, keepdims=True)
 
     def decode_support(logits_):
-      """[S41, T] support logits -> [1, T] scalar."""
+      """[S41, T] support logits -> [1, T] scalar (two decode conventions:
+      integer h-transform bins, ops/support.py, or linear vmin..vmax bins,
+      the rlax transform_from_2hot used by acme CategoricalCriticHead)."""
       p = jax.nn.softmax(logits_, axis=0)
-      bins = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
-              .astype(jnp.float32) - float(support_size))
+      idx = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
+             .astype(jnp.float32))
+      if decode == "linear":
+        bins = vmin + idx * ((vmax - vmin) / (S41 - 1))
+        return jnp.sum(p * bins, axis=0, keepdims=True)
+      bins = idx - float(support_size)
       return _inv_value_transform(
           jnp.sum(p * bins, axis=0, keepdims=True))  # [1, T]
+
+    def run_tower(x, layers, first_split=None):
+      """Run hidden layers in [feature, T] layout. ``first_split`` =
+      (emb [E, T], a_oh [A, T]) splits the first layer's input matmul
+      (dynamics consumes concat(s, one_hot(a)))."""
+      for i, (kind, prs) in enumerate(layers):
+        w, b = prs[0], prs[1]
+        if i == 0 and first_split is not None:
+          emb_x, a_x = first_split
+          h = matTx(w[:E], emb_x) + matTx(w[E:], a_x) + b
+        else:
+          h = matTx(w, x) + b
+        if kind == "elu":
+          x = _elu(h)
+        else:  # ln_tanh: Linear -> LayerNorm -> tanh (acme LayerNormMLP)
+          scale, offset = prs[2], prs[3]
+          mean = jnp.mean(h, axis=0, keepdims=True)
+          var = jnp.mean(jnp.square(h - mean), axis=0, keepdims=True)
+          x = jnp.tanh((h - mean) * jax.lax.rsqrt(var + 1e-5) * scale
+                       + offset)
+      return x
 
     def _completed_q(cur):
       """qtransform_completed_by_mix_value over node ``cur``'s rows:
@@ -398,19 +566,13 @@ def _make_kernel(*, T: int, NP: int, A: int, E: int, S41: int,
                    keepdims=True) for e in range(E)], axis=0)  # [E, T]
       a_oh = (jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
               .astype(jnp.float32) == act).astype(jnp.float32)
-      w0, b0 = dyn_hidden[0]
-      h = matTx(w0[:E], emb) + matTx(w0[E:], a_oh) + b0
-      h = _elu(h)
-      for w, b in dyn_hidden[1:]:
-        h = _elu(matTx(w, h) + b)
+      h = run_tower(None, dyn_layers, first_split=(emb, a_oh))
       reward = decode_support(matTx(dyn_reward[0], h) + dyn_reward[1])
       ns = matTx(dyn_state[0], h) + dyn_state[1]           # [E, T]
       ns_min = jnp.min(ns, axis=0, keepdims=True)
       ns_max = jnp.max(ns, axis=0, keepdims=True)
       ns = (ns - ns_min) / jnp.maximum(ns_max - ns_min, 1e-8)
-      g = ns
-      for w, b in pred_hidden:
-        g = _elu(matTx(w, g) + b)
+      g = run_tower(ns, pred_layers)
       value = decode_support(matTx(pred_value[0], g) + pred_value[1])
       pol = matTx(pred_policy[0], g) + pred_policy[1]
       pol = jax.nn.softmax(pol, axis=0)  # prior probs [A, T]
@@ -489,7 +651,7 @@ def _fused_search(
     *,
     policy: str,
     num_simulations: int,
-    support_size: int,
+    support_size: Optional[int] = None,
     discount: float,
     invalid_actions: Optional[jax.Array] = None,
     max_depth: Optional[int] = None,
@@ -508,9 +670,15 @@ def _fused_search(
   forest layout (envs on lanes), so inputs/outputs are transposed here —
   cheap one-off XLA transposes outside the hot loop.
   """
+  if isinstance(weights, FusedMLPWeights):
+    if support_size is None:
+      raise ValueError("support_size is required with FusedMLPWeights")
+    spec = _mlp_weights_to_spec(weights, support_size)
+  else:
+    spec = weights
   B, E = root_embedding.shape
   A = root_prior_logits.shape[-1]
-  S41 = 2 * support_size + 1
+  S41 = spec.num_bins
   N = num_simulations + 1
   NP = _round_up(N, 8)       # nodes on sublanes
   CP = NP * A
@@ -542,24 +710,33 @@ def _fused_search(
     pad = BP - B
     inputs = [jnp.pad(x, ((0, 0), (0, pad))) for x in inputs]
 
-  num_hidden_dyn = len(weights.dyn_hidden)
-  num_hidden_pred = len(weights.pred_hidden)
+  dyn_kinds = tuple(k for k, _ in spec.dyn_layers)
+  pred_kinds = tuple(k for k, _ in spec.pred_layers)
   wlist = []
-  for pair in (list(weights.dyn_hidden)
-               + [weights.dyn_reward, weights.dyn_state]
-               + list(weights.pred_hidden)
-               + [weights.pred_value, weights.pred_policy]):
-    # Weights stay [in, out] (the kernel contracts the leading dim);
-    # biases become columns [out, 1].
-    wlist.extend([pair[0].astype(jnp.float32),
-                  jnp.reshape(pair[1].astype(jnp.float32), (-1, 1))])
+
+  def flat(arrs):
+    # Matmul weights stay [in, out] (the kernel contracts the leading dim);
+    # vectors (bias / ln scale / ln offset) become columns [out, 1].
+    for i, a in enumerate(arrs):
+      a = jnp.asarray(a, jnp.float32)
+      wlist.append(a if i == 0 else jnp.reshape(a, (-1, 1)))
+
+  for _, prs in spec.dyn_layers:
+    flat(prs)
+  flat(spec.dyn_reward)
+  flat(spec.dyn_state)
+  for _, prs in spec.pred_layers:
+    flat(prs)
+  flat(spec.pred_value)
+  flat(spec.pred_policy)
 
   kernel = _make_kernel(
       T=T, NP=NP, A=A, E=E, S41=S41,
-      num_hidden_dyn=num_hidden_dyn, num_hidden_pred=num_hidden_pred,
+      dyn_kinds=dyn_kinds, pred_kinds=pred_kinds,
       num_simulations=num_simulations, max_depth=max_depth,
       discount=discount, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
-      support_size=support_size, policy=policy, NS=NS)
+      support_size=spec.support_size, decode=spec.decode,
+      vmin=spec.vmin, vmax=spec.vmax, policy=policy, NS=NS)
 
   def col_spec(rows):
     return pl.BlockSpec((rows, T), lambda i: (0, i),

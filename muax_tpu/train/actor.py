@@ -72,11 +72,15 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
   def _maybe_fused_weights(params):
     if (search.policy not in ("muzero", "gumbel")
         or not getattr(search, "fused", False)
-        or jax.default_backend() == "cpu"
-        or not hasattr(networks, "support_size")):
+        or jax.default_backend() == "cpu"):
       return None
-    from muax_tpu.search.fused import extract_fused_weights
-    return extract_fused_weights(networks, params)
+    if hasattr(networks, "support_size"):
+      from muax_tpu.search.fused import extract_fused_weights
+      return extract_fused_weights(networks, params)
+    if hasattr(networks, "num_bins"):
+      from muax_tpu.search.fused import extract_categorical_fused_weights
+      return extract_categorical_fused_weights(networks, params)
+    return None
 
   def policy_fn(params: MZParams, rng: jax.Array, obs: jax.Array,
                 temperature, invalid_actions=None):
@@ -87,7 +91,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
       return fused_mlp_muzero_policy(
           params, rng, root, fused_weights,
           num_simulations=search.num_simulations,
-          support_size=networks.support_size,
+          support_size=getattr(networks, "support_size", None),
           discount=discount,
           max_depth=search.max_depth,
           invalid_actions=invalid_actions,
@@ -102,7 +106,7 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
       return fused_mlp_gumbel_policy(
           params, rng, root, fused_weights,
           num_simulations=search.num_simulations,
-          support_size=networks.support_size,
+          support_size=getattr(networks, "support_size", None),
           discount=discount,
           max_depth=search.max_depth,
           invalid_actions=invalid_actions,

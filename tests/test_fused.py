@@ -94,6 +94,53 @@ def test_extract_rejects_foreign_structure():
   assert extract_fused_weights(networks, bad) is None
 
 
+class TestFusedCategorical:
+  """The kernel on the acme two-hot family (LayerNormMLP towers + linear
+  [vmin, vmax] bins) vs the XLA engine."""
+
+  def _setup(self, batch=6):
+    from muax_tpu.models import make_categorical_mlp_networks
+    networks = make_categorical_mlp_networks(
+        num_actions=3, embedding_dim=16, num_bins=21, vmin=-10.0,
+        vmax=10.0, layer_sizes=(32, 32))
+    params = networks.init_params(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 5)))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (batch, 5))
+    root = make_root_fn(networks)(params, obs)
+    return networks, params, root
+
+  def test_extract_parses_layernorm_towers(self):
+    from muax_tpu.search.fused import extract_categorical_fused_weights
+    networks, params, _ = self._setup()
+    spec = extract_categorical_fused_weights(networks, params)
+    assert spec is not None
+    assert spec.decode == "linear" and spec.num_bins == 21
+    kinds_d = tuple(k for k, _ in spec.dyn_layers)
+    assert kinds_d == ("ln_tanh", "elu")
+    assert spec.dyn_state[0].shape[1] == 16
+    assert spec.pred_value[0].shape[1] == 21
+    assert spec.pred_policy[0].shape[1] == 3
+
+  def test_matches_xla_search(self):
+    from muax_tpu.search.fused import (_fused_search,
+                                       extract_categorical_fused_weights)
+    networks, params, root = self._setup()
+    num_simulations = 20
+    out = muzero_policy(params, jax.random.PRNGKey(2), root,
+                        make_recurrent_fn(networks, 0.99),
+                        num_simulations=num_simulations,
+                        dirichlet_fraction=0.0, temperature=1.0)
+    ref = out.search_tree.summary()
+    spec = extract_categorical_fused_weights(networks, params)
+    visits, value, _ = _fused_search(
+        root.embedding, root.prior_logits, root.value, spec,
+        policy="muzero", num_simulations=num_simulations, discount=0.99)
+    np.testing.assert_allclose(np.sum(visits, -1), float(num_simulations))
+    assert np.abs(visits - np.asarray(ref.visit_counts)).max() <= 2
+    np.testing.assert_allclose(value, np.asarray(ref.value),
+                               rtol=1e-3, atol=1e-3)
+
+
 class TestFusedGumbel:
   """The gumbel kernel vs policies.gumbel_muzero_policy (interpret mode)."""
 
