@@ -17,10 +17,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: repeat bench runs skip the (large) search
-# program compile.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+# Persistent compilation cache: OPT-IN via JAX_CACHE_DIR only. Serializing
+# the fused-search executable for the cache write hangs indefinitely over the
+# axon TPU tunnel (reproduced: all threads futex-wait after compile finishes),
+# so the default is no cache — a clean ~45s compile, then steady state.
+if os.environ.get("JAX_CACHE_DIR"):
+  jax.config.update("jax_compilation_cache_dir", os.environ["JAX_CACHE_DIR"])
 
 BASELINE_ENV_STEPS_PER_S = 100_000.0
 
@@ -72,7 +74,11 @@ def main():
   replay_state = replay_init(config.replay.capacity, args.collect_steps,
                              (4,), 2)
 
-  @functools.partial(jax.jit, donate_argnums=(1, 2))
+  # NOTE: no donate_argnums — donating the replay/env buffers multiplies the
+  # XLA compile time ~15x for this program (alias analysis over the fused
+  # search custom-call), and the buffers are small enough (~20MB) that the
+  # copy is free next to the search itself.
+  @jax.jit
   def iteration(train_state, replay_state, env_carry, rng):
     rollout_rng, update_rng = jax.random.split(rng)
     env_carry, segments, priorities, _ = rollout(
