@@ -97,9 +97,9 @@ def main():
     float(metrics["loss"])
 
   # Measure SUSTAINED throughput with ONE scalar readback per iteration —
-  # exactly how fit() runs (it syncs metrics each iteration). Deeper
-  # enqueue-only chaining is NOT faster here: the axon tunnel degrades
-  # sharply when many donated-buffer executions queue up (measured 3x
+  # exactly how fit() runs (same jit config: no donation, per-iteration
+  # metric sync). Deeper enqueue-only chaining is NOT faster here: the axon
+  # tunnel degrades sharply when many executions queue up (measured 3x
   # slower at depth 10), so the per-iteration sync is both the honest and
   # the fast schedule. Best-of-3 blocks to reject tunnel noise.
   def timed_block():

@@ -3,7 +3,9 @@ front-end replaces the reference's three config idioms)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import hashlib
+import json
+from typing import Callable, Optional
 
 
 @dataclasses.dataclass
@@ -66,6 +68,12 @@ class TrainConfig:
   # None disables the gate (every iteration runs updates_per_iteration).
   samples_per_insert: Optional[float] = None
   spi_tolerance: float = 0.1
+  # Dataset-side observation transform (image augmentation), applied to the
+  # SAMPLED batch's observations in the learner only — never to rollout or
+  # stored observations (the reference's `observation_transform` mapped over
+  # the reverb dataset, acme/jax/muzero/config.py:69-71 + builder.py:194-199).
+  # Signature: transform(rng, obs[B, L, ...]) -> obs.
+  observation_transform: Optional[Callable] = None
 
 
 @dataclasses.dataclass
@@ -78,3 +86,36 @@ class MuZeroConfig:
     if self.replay.segment_length != self.train.collect_steps:
       # Segments are produced by the rollout; keep the shapes consistent.
       self.replay.segment_length = self.train.collect_steps
+
+
+def acme_defaults(num_envs: int = 128, collect_steps: int = 20,
+                  **train_overrides) -> MuZeroConfig:
+  """The reference acme-jax MuZero data regime
+  (acme/jax/muzero/config.py:17,30-66): 50 sims, batch 32 x 8 gradient
+  steps per learner step, unroll 5, n-step 10, discount .99,
+  offline/online 50/50 table mix, and the Reverb SampleToInsertRatio
+  limiter at samples_per_insert=32 with 10% tolerance."""
+  train = dict(num_envs=num_envs, collect_steps=collect_steps,
+               batch_size=32, updates_per_iteration=8, unroll_steps=5,
+               n_bootstrap=10, discount=0.99, samples_per_insert=32.0,
+               spi_tolerance=0.1)
+  train.update(train_overrides)
+  return MuZeroConfig(
+      search=SearchConfig(policy="muzero", num_simulations=50),
+      replay=ReplayConfig(capacity=8192, min_fill=num_envs,
+                          priority_alpha=1.0, offline_fraction=0.5,
+                          online_queue_size=1024),
+      train=TrainConfig(**train))
+
+
+def config_hash(config: MuZeroConfig) -> str:
+  """Deterministic 16-hex digest of the config tree, stamped into
+  checkpoints so resume can fail loudly on a mismatched config (the
+  SPI/warm-up counters are only transferable between identical configs)."""
+  d = dataclasses.asdict(config)
+  blob = json.dumps(
+      d, sort_keys=True,
+      # Callables (observation_transform) hash by name, not identity, so the
+      # digest is stable across processes.
+      default=lambda o: getattr(o, "__name__", o.__class__.__name__))
+  return hashlib.sha256(blob.encode()).hexdigest()[:16]

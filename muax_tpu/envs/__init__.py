@@ -6,6 +6,7 @@ from muax_tpu.envs.base import (
     AutoResetWrapper,
     AutoResetState,
 )
+from muax_tpu.envs.atari import AtariPreprocessing, AtariVectorPool
 from muax_tpu.envs.cartpole import CartPole
 from muax_tpu.envs.catch import Catch
 from muax_tpu.envs.connect4 import ConnectFour

@@ -40,7 +40,10 @@ def _win_lines() -> np.ndarray:
   return np.asarray(lines, np.int32)
 
 
-_LINES = jnp.asarray(_win_lines())
+# numpy (not jnp): keep module import free of XLA backend initialization
+# (multi-host entry requires jax.distributed.initialize before any
+# computation, parallel/multihost.py).
+_LINES = _win_lines()
 
 
 @struct.dataclass

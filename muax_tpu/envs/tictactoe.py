@@ -14,11 +14,15 @@ from __future__ import annotations
 
 import flax.struct as struct
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from muax_tpu.envs.base import Environment, EnvSpec
 
-_LINES = jnp.asarray([
+# numpy (not jnp) so importing this module never initializes the XLA
+# backend — required for jax.distributed.initialize-after-import
+# (multi-host entry, parallel/multihost.py).
+_LINES = np.asarray([
     [0, 1, 2], [3, 4, 5], [6, 7, 8],   # rows
     [0, 3, 6], [1, 4, 7], [2, 5, 8],   # cols
     [0, 4, 8], [2, 4, 6],              # diagonals

@@ -83,7 +83,16 @@ def replay_add(state: ReplayState, segments: Transition,
                step: jax.Array | int = 0) -> ReplayState:
   """Insert K segments ([K, L, ...]) at the ring cursor (with wraparound).
   ``step`` stamps the targets' freshness (the learner step that produced
-  them) into ``target_step``."""
+  them) into ``target_step``.
+
+  K > capacity would create duplicate scatter indices (unspecified winner in
+  XLA); keep only the newest ``capacity`` segments so 'last K survive' holds
+  (same guard as models/env_model.py::model_replay_add).
+  """
+  if segments.action.shape[0] > state.capacity:
+    keep = state.capacity
+    segments = jax.tree.map(lambda x: x[-keep:], segments)
+    step_priorities = step_priorities[-keep:]
   k = segments.action.shape[0]
   idx = (state.cursor + jnp.arange(k)) % state.capacity
   return state.replace(

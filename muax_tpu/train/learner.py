@@ -41,10 +41,18 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
 
   def update(train_state: TrainState, replay_state: ReplayState,
              rng: jax.Array):
+    rng, aug_rng = jax.random.split(rng)
     batch, seg_idx, starts = replay_sample(
         replay_state, rng, tcfg.batch_size, tcfg.unroll_steps,
         offline_fraction=config.replay.offline_fraction,
         online_queue_size=config.replay.online_queue_size)
+    if tcfg.observation_transform is not None:
+      # Dataset-side image augmentation on the sampled batch only
+      # (reference observation_transform, acme/jax/muzero/config.py:69-71
+      # applied in make_dataset_iterator, builder.py:194-199). Stored and
+      # rollout observations are never touched.
+      batch = batch.replace(
+          obs=tcfg.observation_transform(aug_rng, batch.obs))
 
     def loss_fn(params):
       if is_stochastic:

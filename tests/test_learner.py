@@ -182,3 +182,37 @@ class TestCategoricalNetworks:
     from muax_tpu.train.inference import make_root_fn
     root = make_root_fn(networks)(params, jnp.zeros((2, 16)))
     assert root.prior_logits.shape == (2, 4)
+
+
+class TestObservationTransform:
+  """Dataset-side augmentation hook (reference observation_transform,
+  acme/jax/muzero/config.py:69-71 + builder.py:194-199): applied to the
+  sampled batch's obs in the learner only, never to stored obs."""
+
+  def _setup(self):
+    return TestUpdateFn._setup(TestUpdateFn())
+
+  def test_transform_changes_loss_but_not_storage(self):
+    config, networks, opt, state, replay = self._setup()
+    update_plain = jax.jit(make_update_fn(networks, opt, config))
+    _, _, m_plain = update_plain(state, replay, jax.random.PRNGKey(2))
+
+    config.train.observation_transform = lambda rng, obs: jnp.zeros_like(obs)
+    update_aug = jax.jit(make_update_fn(networks, opt, config))
+    _, replay_after, m_aug = update_aug(state, replay, jax.random.PRNGKey(2))
+    # Same rng, same sampled windows — only the obs fed to the loss differ.
+    assert float(m_aug["loss"]) != pytest.approx(float(m_plain["loss"]))
+    # Stored observations untouched: augmentation is dataset-side only.
+    np.testing.assert_array_equal(np.asarray(replay_after.obs),
+                                  np.asarray(replay.obs))
+
+  def test_transform_receives_batch_shape(self):
+    config, networks, opt, state, replay = self._setup()
+    def check_shape(rng, obs):
+      assert obs.shape == (config.train.batch_size,
+                           config.train.unroll_steps, 4)
+      return obs
+    config.train.observation_transform = check_shape
+    update = jax.jit(make_update_fn(networks, opt, config))
+    _, _, metrics = update(state, replay, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))

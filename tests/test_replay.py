@@ -98,3 +98,23 @@ class TestReplay:
     assert float(state.step_priorities[1, 0]) == 5.0
     assert float(state.step_priorities[2, 3]) == 7.0
     assert float(state.step_priorities[0, 0]) == 1.0
+
+
+def test_add_more_than_capacity_keeps_newest():
+  """K > capacity would scatter duplicate indices (unspecified winner in
+  XLA); the guard keeps only the newest `capacity` segments (VERDICT r2
+  weak #5)."""
+  state = replay_init(4, 4, (4,), 2)
+  segs = make_segments(6, 4)
+  # Distinguishable per-segment rewards 0..5.
+  segs = segs.replace(
+      reward=jnp.broadcast_to(jnp.arange(6.0)[:, None], (6, 4)))
+  prios = jnp.broadcast_to(jnp.arange(6.0)[:, None] + 1.0, (6, 4))
+  state = replay_add(state, segs, prios)
+  assert int(state.size) == 4
+  assert int(state.cursor) == 0
+  # The 4 newest segments (2,3,4,5) survive, in ring order from slot 0.
+  got = sorted(float(state.reward[i, 0]) for i in range(4))
+  assert got == [2.0, 3.0, 4.0, 5.0]
+  got_p = sorted(float(state.step_priorities[i, 0]) for i in range(4))
+  assert got_p == [3.0, 4.0, 5.0, 6.0]
