@@ -2,11 +2,11 @@
 
 Runs the notebook config (examples/run_cartpole.py defaults) with
 log_every=1 so every iteration's episode count lands in the history, then
-writes PARITY_r02.json recording episodes-to-solve vs the reference's ~500
+writes PARITY_r03.json recording episodes-to-solve vs the reference's ~500
 episodes (README.md:141-143). Committed output = the reproducible evidence
 VERDICT round 1 asked for.
 
-  python scripts/parity_cartpole.py --seed 42 --out PARITY_r02.json
+  python scripts/parity_cartpole.py --seed 42 --out PARITY_r03.json
 """
 import argparse
 import json
@@ -26,7 +26,7 @@ def main():
   p = argparse.ArgumentParser()
   p.add_argument("--seed", type=int, default=42)
   p.add_argument("--num_iterations", type=int, default=800)
-  p.add_argument("--out", type=str, default="PARITY_r02.json")
+  p.add_argument("--out", type=str, default="PARITY_r03.json")
   p.add_argument("--cpu", action="store_true",
                  help="force the CPU backend (reference solves on CPU too)")
   args = p.parse_args()
