@@ -7,6 +7,12 @@ the 5-network agent; default muzero treats spawns as noise).
 
   python examples/run_2048.py --num_iterations 500
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from absl import app, flags
 
 FLAGS = flags.FLAGS

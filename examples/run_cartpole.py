@@ -6,6 +6,12 @@ learner. Solves (test_G = 500) within a few hundred episodes.
 
   python examples/run_cartpole.py --num_iterations 800 --num_simulations 50
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from absl import app, flags
 
 FLAGS = flags.FLAGS

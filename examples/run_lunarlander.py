@@ -6,6 +6,12 @@ environment physics on CPU, search/replay/learner on device.
 
   python examples/run_lunarlander.py --num_iterations 2000
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from absl import app, flags
 
 FLAGS = flags.FLAGS

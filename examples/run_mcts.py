@@ -13,6 +13,12 @@ policy/value net learns from search visits + n-step returns.
 """
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from absl import app, flags
 
 FLAGS = flags.FLAGS

@@ -8,6 +8,12 @@ learner) runs inside one jitted iteration.
 
   python examples/run_pixel.py --num_iterations 300
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 from absl import app, flags
 
 FLAGS = flags.FLAGS

@@ -68,6 +68,14 @@ class TrainConfig:
   # None disables the gate (every iteration runs updates_per_iteration).
   samples_per_insert: Optional[float] = None
   spi_tolerance: float = 0.1
+  # Updates per one replay_sample call: the learner presamples
+  # `presample_updates` batches in ONE sample (the reference dataset
+  # batching — gradient_steps_per_learner_step batches fetched in one
+  # dataset read then flattened, acme/jax/muzero/builder.py:189-230) and
+  # refreshes priorities once per group (the async Reverb mutation cadence,
+  # learning.py:108-121). Pure throughput knob; effective group is
+  # gcd(updates_per_iteration, presample_updates).
+  presample_updates: int = 8
   # Dataset-side observation transform (image augmentation), applied to the
   # SAMPLED batch's observations in the learner only — never to rollout or
   # stored observations (the reference's `observation_transform` mapped over

@@ -12,3 +12,8 @@ from muax_tpu.envs.catch import Catch
 from muax_tpu.envs.connect4 import ConnectFour
 from muax_tpu.envs.pixel import PixelCatch, PixelObsEnv
 from muax_tpu.envs.tictactoe import TicTacToe
+from muax_tpu.envs.wrappers import (
+    ActionHistoryEnv,
+    FrameStackingEnv,
+    PoolFrameStacking,
+)

@@ -112,3 +112,59 @@ class ActionHistoryEnv(Environment):
         [state.history[1:], action[None].astype(jnp.int32)])
     return (ActionHistoryState(env_state=env_state, history=history),
             self._obs(obs, history), reward, done)
+
+
+class PoolFrameStacking:
+  """Frame stacking over a BATCHED env (an ``AutoResetWrapper`` or a host
+  pool such as ``AtariVectorPool``): channel-concatenated last N frames,
+  the acme actor-side observation stacking
+  (acme/jax/muzero/builder.py:60-66) done device-side in the carry.
+
+  Observations become ``[..., C * num_stack]`` (newest frame last); on an
+  auto-reset the history refills with the post-reset frame so episodes
+  never see frames from the previous episode.
+  """
+
+  def __init__(self, env, num_stack: int = 4):
+    from muax_tpu.envs.base import AutoResetState
+    self.env = env
+    self.num_stack = num_stack
+    self._AutoResetState = AutoResetState
+    s = env.spec
+    c = s.observation_shape[-1]
+    self.spec = EnvSpec(
+        observation_shape=s.observation_shape[:-1] + (c * num_stack,),
+        num_actions=s.num_actions,
+        max_episode_steps=s.max_episode_steps)
+    if hasattr(env, "num_envs"):
+      self.num_envs = env.num_envs
+    if hasattr(env, "legal_action_mask"):
+      self.legal_action_mask = (
+          lambda carry: env.legal_action_mask(carry.env_state[0]))
+
+  def _stacked(self, frames):
+    # [B, N, ..., C] -> [B, ..., N*C], newest last.
+    return jnp.concatenate(
+        [frames[:, i] for i in range(self.num_stack)], axis=-1)
+
+  def reset(self, rng, batch_size: int):
+    inner = self.env.reset(rng, batch_size)
+    frames = jnp.repeat(inner.obs[:, None], self.num_stack, axis=1)
+    return self._AutoResetState(
+        env_state=(inner, frames), obs=self._stacked(frames),
+        episode_step=inner.episode_step,
+        episode_return=inner.episode_return)
+
+  def step(self, carry, action, rng):
+    inner, frames = carry.env_state
+    new_inner, reward, done, info = self.env.step(inner, action, rng)
+    frames = jnp.concatenate([frames[:, 1:], new_inner.obs[:, None]],
+                             axis=1)
+    fresh = jnp.repeat(new_inner.obs[:, None], self.num_stack, axis=1)
+    d = done.reshape((-1,) + (1,) * (frames.ndim - 1))
+    frames = jnp.where(d, fresh, frames)
+    new_carry = self._AutoResetState(
+        env_state=(new_inner, frames), obs=self._stacked(frames),
+        episode_step=new_inner.episode_step,
+        episode_return=new_inner.episode_return)
+    return new_carry, reward, done, info

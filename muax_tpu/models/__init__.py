@@ -8,7 +8,8 @@ from muax_tpu.models.networks import (
     make_resnet_networks,
 )
 from muax_tpu.models.losses import muzero_loss, LossMetrics
-from muax_tpu.models.optimizers import muzero_optimizer, create_optimizer
+from muax_tpu.models.optimizers import (create_optimizer, flatten_optimizer,
+                                        muzero_optimizer)
 from muax_tpu.models.acme_networks import (
     CategoricalMZNetworks,
     make_categorical_mlp_networks,

@@ -90,12 +90,17 @@ def muzero_loss(
   policy_loss = jnp.zeros(batch_size)
   first_value = None
 
+  # Encode ALL two-hot targets once over [B, L] (targets are
+  # stop-gradiented constants; one vectorized encode instead of 2L
+  # per-step encodes keeps the op count of the unrolled graph down).
+  value_targets = encode(batch.rn[:, :num_steps])
+  reward_targets = encode(batch.reward[:, :num_steps])
+
   for i in range(num_steps):
     mask = batch.mask[:, i].astype(s.dtype)
     policy_logits, value_logits = networks.prediction.apply(
         params.prediction, s)
-    value_target = encode(batch.rn[:, i])
-    value_loss += mask * _ce(value_logits, value_target)
+    value_loss += mask * _ce(value_logits, value_targets[:, i])
     policy_loss += mask * _ce(policy_logits, batch.pi[:, i])
     if i == 0:
       first_value = decode(jax.nn.softmax(value_logits, -1))
@@ -103,7 +108,7 @@ def muzero_loss(
     s = scale_gradient(s, gradient_scale)
     reward_logits, s = networks.dynamic.apply(
         params.dynamic, s, batch.action[:, i])
-    reward_loss += mask * _ce(reward_logits, encode(batch.reward[:, i]))
+    reward_loss += mask * _ce(reward_logits, reward_targets[:, i])
 
   denom = jnp.maximum(jnp.sum(batch.mask, axis=1), 1.0)
   reward_loss = reward_loss / denom

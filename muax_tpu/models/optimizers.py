@@ -15,6 +15,31 @@ from typing import Optional, Sequence
 import optax
 
 
+def flatten_optimizer(
+    optimizer: optax.GradientTransformation) -> optax.GradientTransformation:
+  """Run any elementwise optax chain over ONE flat parameter vector.
+
+  TPU throughput wrapper: a pytree of ~20 small arrays costs ~5 ops per
+  leaf per adam step (moments, clip, schedule), which dominates the update
+  for MuZero-scale nets inside the scanned learner. Raveling to a single
+  vector collapses that to one fused elementwise chain. Numerically
+  identical for elementwise transforms + global-norm clipping (the global
+  norm of the vector IS the global norm of the tree)."""
+  from jax.flatten_util import ravel_pytree
+
+  def init(params):
+    flat, _ = ravel_pytree(params)
+    return optimizer.init(flat)
+
+  def update(grads, state, params=None):
+    flat_g, unravel = ravel_pytree(grads)
+    flat_p = ravel_pytree(params)[0] if params is not None else None
+    flat_u, state = optimizer.update(flat_g, state, flat_p)
+    return unravel(flat_u), state
+
+  return optax.GradientTransformation(init, update)
+
+
 def muzero_optimizer(
     peak_lr: float = 2e-2,
     end_lr: float = 1e-3,
@@ -23,8 +48,11 @@ def muzero_optimizer(
     decay_rate: float = 0.8,
     clip_by_global_norm: float = 1.0,
     init_lr: float = 0.0,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
-  """The canonical muax optimizer chain (coax/model.py:23-71 defaults)."""
+  """The canonical muax optimizer chain (coax/model.py:23-71 defaults),
+  applied over a flat parameter vector by default (see
+  :func:`flatten_optimizer`; identical numerics, fewer ops)."""
   schedule = optax.warmup_exponential_decay_schedule(
       init_value=init_lr,
       peak_value=peak_lr,
@@ -33,12 +61,13 @@ def muzero_optimizer(
       decay_rate=decay_rate,
       end_value=end_lr,
   )
-  return optax.chain(
+  chain = optax.chain(
       optax.clip_by_global_norm(clip_by_global_norm),
       optax.scale_by_adam(),
       optax.scale_by_schedule(schedule),
       optax.scale(-1.0),
   )
+  return flatten_optimizer(chain) if flatten else chain
 
 
 def _create_scheduler(name: Optional[str], lr: float, **kwargs):

@@ -32,28 +32,16 @@ class TrainState(NamedTuple):
   step: jax.Array
 
 
-def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation,
-                   config: MuZeroConfig, axis_name: str | None = None):
-  """Build update(train_state, replay_state, rng) ->
-  (train_state, replay_state, metrics). One sampled batch, one grad step."""
+def _make_grad_step(networks: MZNetworks,
+                    optimizer: optax.GradientTransformation,
+                    config: MuZeroConfig, axis_name: str | None = None):
+  """(train_state, batch) -> (train_state, priorities [B], metrics): the
+  loss + optax core shared by the single-update and grouped paths
+  (reference _gradient_step, acme/jax/muzero/learning.py:136-174)."""
   tcfg = config.train
   is_stochastic = hasattr(networks, "chance")
 
-  def update(train_state: TrainState, replay_state: ReplayState,
-             rng: jax.Array):
-    rng, aug_rng = jax.random.split(rng)
-    batch, seg_idx, starts = replay_sample(
-        replay_state, rng, tcfg.batch_size, tcfg.unroll_steps,
-        offline_fraction=config.replay.offline_fraction,
-        online_queue_size=config.replay.online_queue_size)
-    if tcfg.observation_transform is not None:
-      # Dataset-side image augmentation on the sampled batch only
-      # (reference observation_transform, acme/jax/muzero/config.py:69-71
-      # applied in make_dataset_iterator, builder.py:194-199). Stored and
-      # rollout observations are never touched.
-      batch = batch.replace(
-          obs=tcfg.observation_transform(aug_rng, batch.obs))
-
+  def grad_step(train_state: TrainState, batch):
     def loss_fn(params):
       if is_stochastic:
         from muax_tpu.models.stochastic_losses import stochastic_muzero_loss
@@ -79,10 +67,8 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
                                           train_state.params)
     new_params = optax.apply_updates(train_state.params, updates)
     # Temperature is actor state, not a learnable weight: restore it.
-    new_params = new_params._replace(temperature=train_state.params.temperature)
-
-    replay_state = replay_update_priorities(
-        replay_state, seg_idx, starts, metrics.priorities + 1e-6)
+    new_params = new_params._replace(
+        temperature=train_state.params.temperature)
     new_state = TrainState(params=new_params, opt_state=opt_state,
                            step=train_state.step + 1)
     out_metrics = {
@@ -92,58 +78,147 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
         "policy_loss": metrics.policy_loss,
         "l2_loss": metrics.l2_loss,
         "grad_norm": optax.global_norm(grads),
-        # How old (in learner steps) the sampled windows' pi/value/rn targets
-        # are — the staleness ledger reanalyze burns down (Reanalyze,
-        # Schrittwieser et al. 2020 appendix H; stubbed in the reference at
-        # acme/jax/muzero/utils.py:25-70).
-        "target_staleness": jnp.mean(
-            (train_state.step - replay_state.target_step[seg_idx])
-            .astype(jnp.float32)),
     }
+    return new_state, metrics.priorities, out_metrics
+
+  return grad_step
+
+
+def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation,
+                   config: MuZeroConfig, axis_name: str | None = None):
+  """Build update(train_state, replay_state, rng) ->
+  (train_state, replay_state, metrics). One sampled batch, one grad step."""
+  tcfg = config.train
+  grad_step = _make_grad_step(networks, optimizer, config, axis_name)
+
+  def update(train_state: TrainState, replay_state: ReplayState,
+             rng: jax.Array):
+    rng, aug_rng = jax.random.split(rng)
+    batch, seg_idx, starts = replay_sample(
+        replay_state, rng, tcfg.batch_size, tcfg.unroll_steps,
+        offline_fraction=config.replay.offline_fraction,
+        online_queue_size=config.replay.online_queue_size)
+    if tcfg.observation_transform is not None:
+      # Dataset-side image augmentation on the sampled batch only
+      # (reference observation_transform, acme/jax/muzero/config.py:69-71
+      # applied in make_dataset_iterator, builder.py:194-199). Stored and
+      # rollout observations are never touched.
+      batch = batch.replace(
+          obs=tcfg.observation_transform(aug_rng, batch.obs))
+
+    # How old (in learner steps) the sampled windows' pi/value/rn targets
+    # are — the staleness ledger reanalyze burns down (Reanalyze,
+    # Schrittwieser et al. 2020 appendix H; stubbed in the reference at
+    # acme/jax/muzero/utils.py:25-70).
+    staleness = jnp.mean(
+        (train_state.step - replay_state.target_step[seg_idx])
+        .astype(jnp.float32))
+    new_state, priorities, out_metrics = grad_step(train_state, batch)
+    replay_state = replay_update_priorities(
+        replay_state, seg_idx, starts, priorities + 1e-6)
+    out_metrics = {**out_metrics, "target_staleness": staleness}
     return new_state, replay_state, out_metrics
 
   return update
 
 
+def _gcd(a: int, b: int) -> int:
+  while b:
+    a, b = b, a % b
+  return a
+
+
 def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
                          axis_name: str | None = None):
-  """scan of N updates per call (the gradient_steps_per_learner_step=8
-  batching idea, acme/jax/muzero/config.py:30-32).
+  """N updates per call, presampled in GROUPS (the reference's dataset
+  batching: ``gradient_steps_per_learner_step`` batches are fetched in ONE
+  dataset read and flattened, acme/jax/muzero/builder.py:189-230 +
+  config.py:30-32; priorities refresh once per learner step via the async
+  Reverb mutation, learning.py:108-121).
+
+  Grouping is a pure throughput optimization on TPU: one
+  ``replay_sample`` of ``group * batch`` windows amortizes the sampler's
+  fixed cost (RNG + CDF + argmax) across the group, and the priority
+  scatter runs once per group instead of once per update. Semantics match
+  the reference: all batches of a group are drawn against the priorities
+  as of the group start, and refreshed priorities land before the next
+  group samples.
 
   ``multi_update(..., num_allowed=None)``: when given, only the first
-  ``num_allowed`` of the N scanned updates execute (lax.cond skips the
-  rest) — the hook the samples-per-insert rate gate in ``fit`` uses to
-  reproduce Reverb's SampleToInsertRatio limiter (builder.py:128-187).
+  ``num_allowed`` of the N updates execute (lax.cond skips the rest) — the
+  hook the samples-per-insert rate gate in ``fit`` uses to reproduce
+  Reverb's SampleToInsertRatio limiter (builder.py:128-187).
   """
-  update = make_update_fn(networks, optimizer, config, axis_name)
-  n = config.train.updates_per_iteration
+  tcfg = config.train
+  grad_step = _make_grad_step(networks, optimizer, config, axis_name)
+  n = tcfg.updates_per_iteration
+  group = _gcd(n, max(1, tcfg.presample_updates))
+  num_groups = n // group
+  B = tcfg.batch_size
+
+  metric_keys = ("loss", "reward_loss", "value_loss", "policy_loss",
+                 "l2_loss", "grad_norm")
 
   def multi_update(train_state: TrainState, replay_state: ReplayState,
                    rng: jax.Array, num_allowed=None):
-    def body(carry, xs):
-      i, rng_i = xs
+    def group_body(carry, xs):
+      g, rng_g = xs
       ts, rs = carry
-      if num_allowed is None:
-        ts, rs, metrics = update(ts, rs, rng_i)
-        executed = jnp.float32(1.0)
-      else:
-        def run(ops):
-          ts_, rs_ = ops
-          ts_, rs_, m = update(ts_, rs_, rng_i)
-          return ts_, rs_, m
-        def skip(ops):
-          ts_, rs_ = ops
-          zero = {k: jnp.float32(0.0) for k in (
-              "loss", "reward_loss", "value_loss", "policy_loss",
-              "l2_loss", "grad_norm", "target_staleness")}
-          return ts_, rs_, zero
-        executed = (i < num_allowed).astype(jnp.float32)
-        ts, rs, metrics = jax.lax.cond(i < num_allowed, run, skip, (ts, rs))
-      return (ts, rs), {**metrics, "updates_done": executed}
+      sample_rng, aug_rng, upd_rng = jax.random.split(rng_g, 3)
+      big, seg_idx, starts = replay_sample(
+          rs, sample_rng, group * B, tcfg.unroll_steps,
+          offline_fraction=config.replay.offline_fraction,
+          online_queue_size=config.replay.online_queue_size)
+      if tcfg.observation_transform is not None:
+        # Dataset-side augmentation on the sampled batch only (reference
+        # observation_transform, acme/jax/muzero/config.py:69-71 applied in
+        # make_dataset_iterator, builder.py:194-199). Stored and rollout
+        # observations are never touched.
+        big = big.replace(obs=tcfg.observation_transform(aug_rng, big.obs))
+      chunks = jax.tree.map(
+          lambda x: x.reshape((group, B) + x.shape[1:]), big)
+      staleness = jnp.mean(
+          (ts.step - rs.target_step[seg_idx]).astype(jnp.float32))
 
-    xs = (jnp.arange(n), jax.random.split(rng, n))
+      def upd_body(ts_c, xs2):
+        j, batch_j = xs2
+        if num_allowed is None:
+          ts_c, prios, metrics = grad_step(ts_c, batch_j)
+          executed = jnp.float32(1.0)
+        else:
+          executed_b = g * group + j < num_allowed
+
+          def run(ts_in):
+            return grad_step(ts_in, batch_j)
+
+          def skip(ts_in):
+            zero = {k: jnp.float32(0.0) for k in metric_keys}
+            return ts_in, jnp.zeros((B,)), zero
+
+          executed = executed_b.astype(jnp.float32)
+          ts_c, prios, metrics = jax.lax.cond(executed_b, run, skip, ts_c)
+        return ts_c, ({**metrics, "updates_done": executed},
+                      prios, executed)
+
+      ts, (metrics, prios, executed) = jax.lax.scan(
+          upd_body, ts, (jnp.arange(group), chunks))
+
+      # One in-place priority refresh per group (the async Reverb mutation
+      # cadence, learning.py:108-121). Windows drawn twice within a group
+      # keep an unspecified winner — the same race the reference's async
+      # mutations have.
+      flat_prios = (prios + 1e-6).reshape(-1)
+      current = rs.step_priorities[seg_idx, starts]
+      keep_mask = jnp.repeat(executed, B) > 0
+      rs = replay_update_priorities(
+          rs, seg_idx, starts, jnp.where(keep_mask, flat_prios, current))
+      metrics = {**metrics, "target_staleness":
+                 jnp.full((group,), staleness) * metrics["updates_done"]}
+      return (ts, rs), metrics
+
+    xs = (jnp.arange(num_groups), jax.random.split(rng, num_groups))
     (train_state, replay_state), metrics = jax.lax.scan(
-        body, (train_state, replay_state), xs)
+        group_body, (train_state, replay_state), xs)
     done = jnp.maximum(jnp.sum(metrics["updates_done"]), 1.0)
     mean_metrics = {
         k: (jnp.sum(v) / done if k != "updates_done" else jnp.sum(v))

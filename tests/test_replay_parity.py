@@ -157,3 +157,44 @@ class TestWeightedWindowStarts:
     starts = np.asarray(batch.obs)[:, 0, 0]
     # All five possible starts appear.
     assert set(starts.astype(int).tolist()) == {0, 1, 2, 3, 4}
+
+
+class TestAcmeDefaultsRegime:
+  """The shipped reference data regime (VERDICT r2 next #6): acme_defaults
+  carries the acme-jax MuZero defaults including the SPI=32
+  SampleToInsertRatio limiter (acme/jax/muzero/config.py:30-66), and a
+  fit() run under it respects the sample budget."""
+
+  def test_factory_matches_reference_defaults(self):
+    from muax_tpu.config import acme_defaults
+    cfg = acme_defaults()
+    assert cfg.train.samples_per_insert == 32.0
+    assert cfg.train.spi_tolerance == 0.1
+    assert cfg.train.batch_size == 32
+    assert cfg.train.updates_per_iteration == 8
+    assert cfg.train.unroll_steps == 5
+    assert cfg.train.n_bootstrap == 10
+    assert cfg.train.discount == 0.99
+    assert cfg.search.num_simulations == 50
+    assert cfg.replay.offline_fraction == 0.5
+    assert cfg.replay.priority_alpha == 1.0
+
+  def test_fit_under_acme_regime_respects_spi_budget(self):
+    from muax_tpu.config import acme_defaults
+    from muax_tpu.envs import CartPole
+    from muax_tpu.models import create_optimizer, make_mlp_networks
+    from muax_tpu.train.fit import fit
+
+    cfg = acme_defaults(num_envs=8, collect_steps=6, batch_size=16,
+                        unroll_steps=2, n_bootstrap=3)
+    cfg.replay.capacity = 64
+    cfg.replay.min_fill = 8
+    cfg.search.num_simulations = 2
+    nets = make_mlp_networks(2, embedding_dim=4, support_size=5)
+    state, results = fit(CartPole(), nets, cfg,
+                         create_optimizer("adam", 1e-3), num_iterations=4,
+                         eval_every=10, log_every=10, save_best=False,
+                         log_fn=lambda s: None)
+    inserted = (4 + 1) * 8 * 6  # (iterations + warmup) * envs * steps
+    budget = 32.0 * inserted * 1.1
+    assert 0 < int(state.step) * cfg.train.batch_size <= budget

@@ -83,3 +83,74 @@ class TestMonitor:
     mon.save_counters(path)
     mon2 = TrainMonitor().load_counters(path)
     assert mon2.T == 50 and mon2.ep == 1 and mon2.G == 5.0
+
+
+class TestPoolFrameStacking:
+  """Batched frame stacking over pools/AutoResetWrapper (the acme
+  actor-side observation stacking, builder.py:60-66) — the device-side
+  half of the Atari path."""
+
+  def _env(self):
+    from muax_tpu.envs import AutoResetWrapper, PixelCatch, PoolFrameStacking
+    return PoolFrameStacking(
+        AutoResetWrapper(PixelCatch(rows=3, columns=3, scale=1)),
+        num_stack=4)
+
+  def test_shapes_and_initial_fill(self):
+    env = self._env()
+    assert env.spec.observation_shape == (3, 3, 4)
+    carry = env.reset(jax.random.PRNGKey(0), 5)
+    assert carry.obs.shape == (5, 3, 3, 4)
+    # All stack slots hold the reset frame initially.
+    np.testing.assert_array_equal(np.asarray(carry.obs[..., 0]),
+                                  np.asarray(carry.obs[..., 3]))
+
+  def test_newest_frame_last_and_history_shifts(self):
+    env = self._env()
+    carry = env.reset(jax.random.PRNGKey(0), 4)
+    first = np.asarray(carry.obs[..., 3])
+    carry2, _, done, _ = env.step(
+        carry, jnp.ones(4, jnp.int32), jax.random.PRNGKey(1))
+    live = ~np.asarray(done)
+    # Previous newest frame slid into slot 2 for episodes that continued.
+    np.testing.assert_array_equal(np.asarray(carry2.obs[..., 2])[live],
+                                  first[live])
+
+  def test_done_refills_history(self):
+    from muax_tpu.envs import AutoResetWrapper, PixelCatch, PoolFrameStacking
+    env = PoolFrameStacking(
+        AutoResetWrapper(PixelCatch(rows=2, columns=3, scale=1)),
+        num_stack=3)
+    carry = env.reset(jax.random.PRNGKey(0), 8)
+    rng = jax.random.PRNGKey(1)
+    for t in range(3):  # rows=2 Catch terminates within 2 steps
+      rng, k = jax.random.split(rng)
+      carry, _, done, _ = env.step(carry, jnp.zeros(8, jnp.int32), k)
+      d = np.asarray(done)
+      if d.any():
+        obs = np.asarray(carry.obs)
+        # Every stack slot equals the fresh post-reset frame.
+        np.testing.assert_array_equal(obs[d][..., 0], obs[d][..., 2])
+        return
+    raise AssertionError("no episode terminated in 3 steps of 2-row Catch")
+
+  def test_composes_with_rollout(self):
+    from muax_tpu.config import MuZeroConfig, ReplayConfig, SearchConfig, \
+        TrainConfig
+    from muax_tpu.models import make_mlp_networks
+    from muax_tpu.train.actor import make_rollout_fn
+    env = self._env()
+    config = MuZeroConfig(
+        search=SearchConfig(num_simulations=2),
+        replay=ReplayConfig(capacity=16),
+        train=TrainConfig(num_envs=4, collect_steps=5, batch_size=4,
+                          unroll_steps=2, n_bootstrap=2))
+    networks = make_mlp_networks(3, embedding_dim=4, support_size=5)
+    rollout = jax.jit(make_rollout_fn(networks, env, config))
+    params = networks.init_params(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 3, 3, 4)))
+    carry = env.reset(jax.random.PRNGKey(1), 4)
+    carry, segments, priorities, metrics = rollout(
+        params, carry, jax.random.PRNGKey(2), 1.0)
+    assert segments.obs.shape == (4, 5, 3, 3, 4)
+    assert np.isfinite(float(metrics["mean_root_value"]))
