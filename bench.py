@@ -308,16 +308,32 @@ def main():
   args = p.parse_args()
 
   if args.matrix:
+    # Incremental + resumable: each row lands in the file as soon as it is
+    # measured (a TPU worker crash mid-matrix must not lose prior rows),
+    # and already-present rows are skipped on re-run.
+    path = "BENCH_MATRIX_r03.json"
     rows = {}
+    if os.path.exists(path):
+      with open(path) as f:
+        rows = json.load(f).get("rows", {})
+
+    def save():
+      with open(path, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
+                  indent=1)
+
     for label, kw in MATRIX:
+      if label in rows:
+        _progress(f"{label}: already measured, skipping")
+        continue
       rows[label] = run_config(**kw)
       print(label, json.dumps(rows[label]), flush=True)
-    rows["alphazero_connect4"] = run_az_connect4()
-    print("alphazero_connect4", json.dumps(rows["alphazero_connect4"]),
-          flush=True)
-    out = {"device": str(jax.devices()[0]), "rows": rows}
-    with open("BENCH_MATRIX_r03.json", "w") as f:
-      json.dump(out, f, indent=1)
+      save()
+    if "alphazero_connect4" not in rows:
+      rows["alphazero_connect4"] = run_az_connect4()
+      print("alphazero_connect4", json.dumps(rows["alphazero_connect4"]),
+            flush=True)
+      save()
     return
 
   if args.policy is not None:
