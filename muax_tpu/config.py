@@ -68,6 +68,10 @@ class TrainConfig:
   # None disables the gate (every iteration runs updates_per_iteration).
   samples_per_insert: Optional[float] = None
   spi_tolerance: float = 0.1
+  # Fused Pallas learner kernel (models/fused_learner.py): loss + backward
+  # as one op for the MLP family on TPU backends (grad parity test-pinned
+  # against jax.grad); other families / CPU fall back to jax.grad.
+  fused_learner: bool = True
   # Updates per one replay_sample call: the learner presamples
   # `presample_updates` batches in ONE sample (the reference dataset
   # batching — gradient_steps_per_learner_step batches fetched in one

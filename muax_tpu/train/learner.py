@@ -42,6 +42,23 @@ def _make_grad_step(networks: MZNetworks,
   is_stochastic = hasattr(networks, "chance")
 
   def grad_step(train_state: TrainState, batch):
+    # Fused Pallas learner for the flagship MLP family on TPU backends:
+    # loss + backward as one kernel (models/fused_learner.py; grad parity
+    # is test-pinned against jax.grad). Other families and CPU runs use
+    # the jax.grad path below — same dispatch policy as the fused search
+    # (train/actor.py).
+    if (tcfg.fused_learner and not is_stochastic
+        and jax.default_backend() != "cpu"):
+      from muax_tpu.models.fused_learner import (extract_learner_weights,
+                                                 fused_muzero_grad)
+      lw = extract_learner_weights(networks, train_state.params)
+      if lw is not None:
+        grads, metrics = fused_muzero_grad(
+            train_state.params, batch, networks, lw,
+            l2_coef=tcfg.l2_coef, gradient_scale=tcfg.gradient_scale,
+            priority_alpha=config.replay.priority_alpha)
+        return _finish(train_state, grads, metrics)
+
     def loss_fn(params):
       if is_stochastic:
         from muax_tpu.models.stochastic_losses import stochastic_muzero_loss
@@ -57,6 +74,9 @@ def _make_grad_step(networks: MZNetworks,
           priority_alpha=config.replay.priority_alpha)
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(train_state.params)
+    return _finish(train_state, grads, metrics)
+
+  def _finish(train_state, grads, metrics):
     # No-op unless utils.set_check_numerics(True) was called before tracing
     # (the reference's check_numerics guard, tf/mcts/search.py:744-747).
     from muax_tpu.utils.debug import check_numerics
