@@ -17,3 +17,7 @@ from muax_tpu.envs.wrappers import (
     FrameStackingEnv,
     PoolFrameStacking,
 )
+from muax_tpu.envs.open_spiel_adapter import (
+    AlphaZeroPlanes,
+    OpenSpielVectorPool,
+)
