@@ -276,8 +276,8 @@ MATRIX = [
                                 collect_steps=20, batch_size=256,
                                 updates=8, iters=5, tile=256)),
     ("muzero_ez_conv_pixel", dict(policy="muzero", network="ez_conv",
-                                  num_envs=256, num_simulations=32,
-                                  collect_steps=20, batch_size=64,
+                                  num_envs=512, num_simulations=32,
+                                  collect_steps=20, batch_size=128,
                                   updates=8, iters=3, tile=0)),
     # num_envs pinned to 128: the same program at 512 envs x 200 sims
     # reproducibly faults this stack's TPU runtime ("TPU worker process

@@ -168,12 +168,31 @@ def make_efficientzero_networks(
 ) -> MZNetworks:
   """Conv triplet for pixel observations [B, H, W, C] (EfficientZero stack,
   reference nn.py:180-309). Dynamics receives the action as a broadcast
-  plane appended to the state channels."""
+  plane appended to the state channels.
+
+  ``downsample`` applies the reference EZStateEncoder's FULL 16x spatial
+  reduction (conv s2 -> block -> block s2 -> block -> avgpool/2 -> block
+  -> avgpool/2 -> block, nn.py:189-206): 80x80 frames become 5x5 latents.
+  This is also what makes conv search tractable — the tree stores
+  [B, num_nodes, h, w, C] latents, and an under-downsampled 40x40 latent
+  costs 64x the HBM of the reference's 5x5 (measured: the 32-sim forest
+  goes from 1.7 GB to 27 MB at B=256)."""
   full_support = 2 * support_size + 1
 
   def representation(obs):
-    h = _conv_torso(obs.astype(jnp.float32), channels, num_blocks,
-                    downsample)
+    x = obs.astype(jnp.float32)
+    if downsample:
+      h = hk.Conv2D(max(channels // 2, 1), 3, stride=2)(x)
+      h = ResidualConvBlock(max(channels // 2, 1), name="enc_block_0")(h)
+      h = ResidualConvBlock(channels, stride=2, use_projection=True,
+                            name="enc_down_1")(h)
+      h = ResidualConvBlock(channels, name="enc_block_1")(h)
+      h = hk.AvgPool((3, 3, 1), (2, 2, 1), "SAME")(h)
+      h = ResidualConvBlock(channels, name="enc_block_2")(h)
+      h = hk.AvgPool((3, 3, 1), (2, 2, 1), "SAME")(h)
+      h = ResidualConvBlock(channels, name="enc_block_3")(h)
+    else:
+      h = _conv_torso(x, channels, num_blocks, downsample=False)
     return min_max_normalize2d(h)
 
   def prediction(s):

@@ -112,9 +112,13 @@ class TestPixelLearning:
                           updates_per_iteration=8, unroll_steps=2,
                           n_bootstrap=3, discount=0.99,
                           temperature_schedule=((0.5, 1.0), (1.0, 0.5))))
+    # downsample=False: the full EZ encoder's 16x spatial reduction
+    # (reference nn.py:189-206) collapses these 8x12 toy frames to 1x1
+    # latents; the no-downsample torso keeps the board readable. Atari-size
+    # frames (80x80+) use downsample=True (run_pixel/run_atari).
     networks = make_efficientzero_networks(num_actions=3, support_size=3,
                                            channels=8, num_blocks=1,
-                                           downsample=True)
+                                           downsample=False)
     optimizer = create_optimizer("adam", lr=3e-3)
     state, results = fit(env, networks, config, optimizer,
                          num_iterations=40, eval_every=10, log_every=10,
