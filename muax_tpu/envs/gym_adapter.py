@@ -13,6 +13,14 @@ host-side, so ``make_rollout_fn`` and ``fit`` accept it unchanged.
 
 Throughput note: each step costs one host round-trip over the whole batch;
 prefer pure-JAX envs for the performance path.
+
+Backend support: ``io_callback`` host callbacks are a standard JAX
+feature on local CPU/GPU/TPU-VM backends (where all pool tests and
+examples run). REMOTE-tunneled TPU backends that cannot proxy host
+callbacks (e.g. this build image's relayed chip) hang the runtime on the
+first callback — isolated empirically: a pure-XLA search + pool program
+wedges the worker even with every custom kernel disabled. Run host-pool
+workloads where the device and the gym processes share a host.
 """
 from __future__ import annotations
 
