@@ -240,3 +240,36 @@ class TestFlattenOptimizer:
       p_flat = optax.apply_updates(p_flat, u_f)
       for a, b in zip(jax.tree.leaves(u_t), jax.tree.leaves(u_f)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGroupedGating:
+  """SPI gating composes with grouped presampling: num_allowed counts
+  GLOBAL updates across groups, skipped updates advance nothing, and
+  skipped chunks leave their sampled windows' priorities untouched."""
+
+  def _setup(self):
+    config, networks, opt, state, replay = TestUpdateFn._setup(
+        TestUpdateFn())
+    config.train.updates_per_iteration = 4
+    config.train.presample_updates = 2   # -> 2 groups of 2
+    return config, networks, opt, state, replay
+
+  @pytest.mark.parametrize("allowed,expected", [(0, 0), (1, 1), (3, 3),
+                                                (4, 4), (9, 4)])
+  def test_num_allowed_counts_global_updates(self, allowed, expected):
+    from muax_tpu.train.learner import make_multi_update_fn
+    config, networks, opt, state, replay = self._setup()
+    mu = jax.jit(make_multi_update_fn(networks, opt, config))
+    new_state, _, metrics = mu(state, replay, jax.random.PRNGKey(0),
+                               jnp.asarray(allowed, jnp.int32))
+    assert int(new_state.step) == expected
+    assert int(metrics["updates_done"]) == expected
+
+  def test_fully_gated_leaves_priorities_untouched(self):
+    from muax_tpu.train.learner import make_multi_update_fn
+    config, networks, opt, state, replay = self._setup()
+    mu = jax.jit(make_multi_update_fn(networks, opt, config))
+    _, new_replay, _ = mu(state, replay, jax.random.PRNGKey(0),
+                          jnp.asarray(0, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(new_replay.step_priorities),
+                                  np.asarray(replay.step_priorities))
