@@ -17,7 +17,7 @@ which is how the unit tests drive it.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

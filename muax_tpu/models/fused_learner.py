@@ -32,7 +32,6 @@ backward recovered from post-activations.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -40,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from muax_tpu.ops import scalar_to_support, support_to_scalar
+from muax_tpu.ops import scalar_to_support
 
 _H_EPS = 1e-3     # value-transform epsilon (ops/support.py)
 _MM_EPS = 1e-8    # min_max_normalize epsilon (ops/normalize.py)

@@ -8,7 +8,6 @@ pmap/lax.pmean at learning.py:130-151).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

@@ -43,7 +43,6 @@ import jax
 
 if not _REAL:
   jax.config.update("jax_platform_name", "cpu")
-import jax.numpy as jnp
 
 
 def bench_mesh(n_devices: int, envs_per_device: int, sims: int,
