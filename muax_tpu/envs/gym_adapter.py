@@ -40,6 +40,15 @@ class GymVectorPool:
   def __init__(self, env_id: str, num_envs: int, seed: int = 0, **kwargs):
     import gymnasium
 
+    if jax.default_backend() not in ("cpu", "gpu", "tpu"):
+      # e.g. relayed/experimental PJRT plugins — see the module docstring's
+      # backend-support note: io_callback can hang such runtimes.
+      import warnings
+      warnings.warn(
+          f"host-pool io_callback on backend {jax.default_backend()!r}: "
+          "remote-tunneled devices that cannot proxy host callbacks will "
+          "hang on the first env step; run host-pool workloads on a "
+          "CPU/GPU/TPU-VM backend", stacklevel=2)
     self.num_envs = num_envs
     self._envs = [gymnasium.make(env_id, **kwargs) for _ in range(num_envs)]
     self._seeds = list(range(seed, seed + num_envs))
