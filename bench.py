@@ -281,8 +281,9 @@ MATRIX = [
                                   updates=8, iters=3, tile=0)),
     # num_envs pinned to 128: the same program at 512 envs x 200 sims
     # reproducibly faults this stack's TPU runtime ("TPU worker process
-    # crashed", pure-XLA program — compiler/runtime bug at that tree
-    # shape, [B, 201, A+32] child arrays); 128 envs runs clean.
+    # crashed", pure-XLA program) while running clean on XLA CPU at the
+    # identical [B, 201, A+32] shape — a TPU compiler/runtime fault, not
+    # a program bug; 128 envs runs clean on the chip too.
     ("stochastic_200sims", dict(policy="stochastic", network="smz_mlp",
                                 num_envs=128, num_simulations=200,
                                 collect_steps=20, batch_size=128,
