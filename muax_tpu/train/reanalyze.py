@@ -36,13 +36,20 @@ def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
                 step: jax.Array | int = 0):
     seg_rng, search_rng = jax.random.split(rng)
     # Stalest-first: sample by target age (filled slots only), so the
-    # freshness ledger burns down where it matters most.
-    filled = jnp.arange(replay_state.capacity) < replay_state.size
+    # freshness ledger burns down where it matters most. Inverse-CDF draw
+    # (cumsum + searchsorted) — same distribution as categorical without
+    # materializing a [num_segments, capacity] Gumbel matrix (the TPU
+    # lowering fixed in replay/buffer.py applies here too).
+    C = replay_state.capacity
+    filled = jnp.arange(C) < replay_state.size
     age = (jnp.asarray(step, jnp.int32) - replay_state.target_step).astype(
         jnp.float32)
-    logits = jnp.where(filled, jnp.log1p(jnp.maximum(age, 0.0)), -jnp.inf)
-    seg_idx = jax.random.categorical(seg_rng, logits,
-                                     shape=(num_segments,))
+    # Same distribution as the previous categorical over log1p(age)
+    # logits: weight = exp(log1p(age)) = 1 + age.
+    weights = jnp.where(filled, 1.0 + jnp.maximum(age, 0.0), 0.0)
+    cdf = jnp.cumsum(weights)
+    u = jax.random.uniform(seg_rng, (num_segments,)) * cdf[-1]
+    seg_idx = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, C - 1)
 
     obs = replay_state.obs[seg_idx]          # [K, L, ...]
     flat_obs = obs.reshape((num_segments * L,) + obs.shape[2:])
