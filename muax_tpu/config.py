@@ -30,6 +30,12 @@ class SearchConfig:
   # budget). Larger tiles amortize the per-level loop overhead across more
   # rows; sweep with scripts/tile_sweep.py.
   batch_tile: Optional[int] = None
+  # Search budget for reanalyze target refresh (None = num_simulations).
+  # A reduced budget refreshes more of the buffer per unit compute at
+  # slightly noisier targets (the ReZero observation — arXiv:2404.16364:
+  # reanalyze quality degrades gracefully with budget, so cheaper
+  # reanalyze over MORE data wins).
+  reanalyze_simulations: Optional[int] = None
 
 
 @dataclasses.dataclass

@@ -27,7 +27,18 @@ from muax_tpu.train.actor import make_policy_fn
 
 def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
                       num_segments: int):
-  """Build reanalyze(params, replay_state, rng) -> (replay_state, metrics)."""
+  """Build reanalyze(params, replay_state, rng) -> (replay_state, metrics).
+
+  ``config.search.reanalyze_simulations`` (when set) runs the refresh
+  search at a reduced budget — the ReZero recipe (arXiv:2404.16364):
+  target quality degrades gracefully with budget, so cheaper searches
+  over more of the buffer beat full-budget searches over less of it."""
+  if config.search.reanalyze_simulations is not None:
+    import dataclasses
+    config = dataclasses.replace(
+        config, search=dataclasses.replace(
+            config.search,
+            num_simulations=config.search.reanalyze_simulations))
   policy_fn = make_policy_fn(networks, config, config.train.discount)
   tcfg = config.train
   L = tcfg.collect_steps

@@ -73,3 +73,34 @@ def test_reanalyze_only_touches_filled_slots():
   new_replay, _ = reanalyze(params, replay, jax.random.PRNGKey(1))
   # Unfilled slots (2..7) untouched (still zero priorities beyond writes).
   np.testing.assert_array_equal(np.asarray(new_replay.obs[2:]), 0.0)
+
+
+def test_reduced_budget_reanalyze():
+  """ReZero-style cheap refresh (search.reanalyze_simulations): runs at
+  the reduced budget, still rewrites pi/value/rn, and the original config
+  is not mutated."""
+  config = MuZeroConfig(
+      search=SearchConfig(num_simulations=16, reanalyze_simulations=2),
+      train=TrainConfig(num_envs=2, collect_steps=4, batch_size=2,
+                        unroll_steps=2, n_bootstrap=2))
+  networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+  params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+  L = 4
+  replay = replay_init(8, L, (4,), 2)
+  seg = Transition(
+      obs=jax.random.normal(jax.random.PRNGKey(3), (4, L, 4)),
+      action=jnp.zeros((4, L), jnp.int32),
+      reward=jnp.ones((4, L)), done=jnp.zeros((4, L), bool),
+      rn=jnp.zeros((4, L)), value=jnp.zeros((4, L)),
+      pi=jnp.ones((4, L, 2)) / 2, weight=jnp.ones((4,)),
+      mask=jnp.ones((4, L)))
+  replay = replay_add(replay, seg, jnp.ones((4, L)))
+  reanalyze = jax.jit(make_reanalyze_fn(networks, config, num_segments=4))
+  new_replay, metrics = reanalyze(params, replay, jax.random.PRNGKey(1))
+  assert config.search.num_simulations == 16  # untouched
+  assert int(metrics["reanalyzed_segments"]) == 4
+  # Targets actually rewritten (rn was zero; rewards are 1 -> rn > 0).
+  assert float(jnp.max(jnp.abs(new_replay.rn[:4]))) > 0.1
+  # Fresh pi sums to 1 over actions.
+  np.testing.assert_allclose(np.asarray(new_replay.pi[:4].sum(-1)), 1.0,
+                             rtol=1e-5)
