@@ -21,3 +21,4 @@ from muax_tpu.envs.open_spiel_adapter import (
     AlphaZeroPlanes,
     OpenSpielVectorPool,
 )
+from muax_tpu.envs.registry import make, register, registered

@@ -119,6 +119,15 @@ def fit(
   optimizer = optimizer or muzero_optimizer()
   tcfg = config.train
 
+  # Reference API parity: fit(env_id_string, ...) resolves through the env
+  # registry (muax/train.py:26-50 takes env_id='CartPole-v1').
+  if isinstance(env, str):
+    from muax_tpu.envs.registry import make as make_env
+    env = make_env(env, num_envs=tcfg.num_envs)
+  if isinstance(eval_env, str):
+    from muax_tpu.envs.registry import make as make_env
+    eval_env = make_env(eval_env, num_envs=min(8, tcfg.num_envs))
+
   # A raw pure-JAX Environment gets the batched auto-reset wrapper; batched
   # pools (e.g. envs.gym_adapter.GymVectorPool) already speak the wrapper
   # interface and pass through.

@@ -104,3 +104,40 @@ class TestAutoReset:
       carry, reward, done, info = env.step(carry, a, step_rng)
       if not np.any(np.asarray(done)):
         np.testing.assert_allclose(np.asarray(carry.episode_return), t + 1)
+
+
+class TestRegistry:
+  """String env resolution (reference fit(env_id=...) parity,
+  muax/train.py:26-50)."""
+
+  def test_pure_jax_names_resolve(self):
+    from muax_tpu.envs import CartPole, ConnectFour, make, registered
+    assert "cartpole" in registered()
+    assert isinstance(make("CartPole-v1"), CartPole)
+    assert isinstance(make("cartpole"), CartPole)
+    assert isinstance(make("Connect4"), ConnectFour)
+
+  def test_unknown_without_num_envs_raises(self):
+    from muax_tpu.envs import make
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="num_envs"):
+      make("NoSuchEnv-v1")
+
+  def test_fit_accepts_env_id_string(self):
+    import jax.numpy as jnp
+    from muax_tpu.config import MuZeroConfig, ReplayConfig, SearchConfig, \
+        TrainConfig
+    from muax_tpu.models import create_optimizer, make_mlp_networks
+    from muax_tpu.train.fit import fit
+    cfg = MuZeroConfig(
+        search=SearchConfig(num_simulations=2),
+        replay=ReplayConfig(capacity=32, min_fill=4),
+        train=TrainConfig(num_envs=4, collect_steps=4, batch_size=4,
+                          updates_per_iteration=1, unroll_steps=2,
+                          n_bootstrap=2))
+    nets = make_mlp_networks(2, embedding_dim=4, support_size=5)
+    state, res = fit("CartPole-v1", nets, cfg,
+                     create_optimizer("adam", 1e-3), num_iterations=2,
+                     eval_every=10, log_every=10, save_best=False,
+                     log_fn=lambda s: None)
+    assert int(state.step) == 2
