@@ -1,0 +1,57 @@
+"""Example-script smoke tests: every CPU-safe example runs end-to-end at
+tiny scale in a subprocess (forced CPU mesh). Catches example rot — the
+reference's examples are its de-facto acceptance tests (SURVEY §4)."""
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = textwrap.dedent("""
+    import sys, runpy, os
+    sys.path.insert(0, %(repo)r)
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platform_name", "cpu")
+    script = sys.argv[1]
+    sys.argv = sys.argv[1:]
+    runpy.run_path(os.path.join(%(repo)r, script), run_name="__main__")
+""") % {"repo": REPO}
+
+
+def run_example(script, *args, timeout=420):
+  proc = subprocess.run(
+      [sys.executable, "-c", _RUNNER, script, *args],
+      capture_output=True, text=True, timeout=timeout)
+  assert proc.returncode == 0, (
+      f"{script} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+  return proc.stdout
+
+
+@pytest.mark.parametrize("script,args", [
+    ("examples/run_cartpole.py",
+     ("--num_iterations", "2", "--num_simulations", "2", "--num_envs", "8",
+      "--batch_size", "8")),
+    ("examples/run_acme_regime.py",
+     ("--num_iterations", "2", "--num_envs", "8")),
+    ("examples/run_tictactoe_alphazero.py",
+     ("--iterations", "2", "--num_simulations", "4", "--num_envs", "8")),
+    ("examples/run_connect4.py",
+     ("--iterations", "2", "--num_simulations", "4", "--num_envs", "8",
+      "--batch_size", "16", "--eval_every", "2", "--num_blocks", "1",
+      "--channels", "8")),
+    ("examples/run_mcts.py",
+     ("--iterations", "2", "--num_simulations", "4", "--num_envs", "8")),
+    ("examples/run_mcts.py",
+     ("--nosimulator", "--iterations", "2", "--num_simulations", "4",
+      "--num_envs", "8")),
+    ("examples/run_pixel.py",
+     ("--num_iterations", "2", "--num_simulations", "2", "--num_envs", "8",
+      "--batch_size", "8", "--scale", "2", "--channels", "4")),
+    ("examples/run_atari.py", ("--fake", "--measure_pool", "--num_envs", "2")),
+])
+def test_example_runs(script, args):
+  run_example(script, *args)
