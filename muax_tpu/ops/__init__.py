@@ -18,3 +18,8 @@ from muax_tpu.ops.returns import (
 from muax_tpu.ops.gradients import scale_gradient, clip_gradient
 from muax_tpu.ops.normalize import min_max_normalize, min_max_normalize2d
 from muax_tpu.ops.frames import diff_transform, diff_transform_matrix, action2plane
+from muax_tpu.ops.augmentations import (
+    drq_augmentation,
+    random_intensity,
+    random_shift,
+)

@@ -162,3 +162,51 @@ class TestFrames:
     assert p.shape == (2, 4, 4)
     np.testing.assert_allclose(p[0], 0.5)
     np.testing.assert_allclose(p[1], 0.75)
+
+
+class TestAugmentations:
+  """Dataset-side image augmentations (the stock transforms behind the
+  observation_transform hook; DrQ/EfficientZero random shift+intensity)."""
+
+  def test_random_shift_shapes_and_window_consistency(self):
+    from muax_tpu.ops import random_shift
+    obs = jax.random.uniform(jax.random.PRNGKey(0), (4, 3, 8, 8, 1))
+    out = random_shift(jax.random.PRNGKey(1), obs, pad=2)
+    assert out.shape == obs.shape
+    # The same spatial shift applies to every frame of a window: shifting
+    # a constant-in-time window keeps it constant in time.
+    const = jnp.broadcast_to(obs[:, :1], obs.shape)
+    out_c = random_shift(jax.random.PRNGKey(1), const, pad=2)
+    np.testing.assert_allclose(np.asarray(out_c[:, 0]),
+                               np.asarray(out_c[:, 1]))
+
+  def test_random_shift_is_a_translation(self):
+    from muax_tpu.ops import random_shift
+    # A one-hot pixel stays a one-hot pixel (edge padding aside).
+    obs = jnp.zeros((1, 1, 9, 9, 1)).at[0, 0, 4, 4, 0].set(1.0)
+    out = random_shift(jax.random.PRNGKey(0), obs, pad=2)
+    assert float(out.sum()) == pytest.approx(1.0)
+    assert float(out.max()) == pytest.approx(1.0)
+
+  def test_random_intensity_scales_whole_window(self):
+    from muax_tpu.ops import random_intensity
+    obs = jnp.ones((8, 2, 4, 4, 1))
+    out = random_intensity(jax.random.PRNGKey(0), obs, scale=0.1)
+    ratios = np.asarray(out).reshape(8, -1)
+    # One factor per window, within the clipped range.
+    for row in ratios:
+      assert np.allclose(row, row[0])
+      assert 0.8 <= row[0] <= 1.2
+
+  def test_drq_transform_plugs_into_learner_hook(self):
+    from muax_tpu.ops import drq_augmentation
+    t = drq_augmentation(pad=1, intensity_scale=0.01)
+    obs = jax.random.uniform(jax.random.PRNGKey(0), (4, 2, 6, 6, 1))
+    out = jax.jit(t)(jax.random.PRNGKey(1), obs)
+    assert out.shape == obs.shape
+    # Named for stable config hashing across processes.
+    from muax_tpu.config import MuZeroConfig, config_hash
+    a, b = MuZeroConfig(), MuZeroConfig()
+    a.train.observation_transform = drq_augmentation(pad=1)
+    b.train.observation_transform = drq_augmentation(pad=1)
+    assert config_hash(a) == config_hash(b)
