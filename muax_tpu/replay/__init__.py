@@ -7,3 +7,9 @@ from muax_tpu.replay.buffer import (
     replay_sample,
     replay_update_priorities,
 )
+from muax_tpu.replay.tracer import (
+    NStep,
+    PNStep,
+    Trajectory,
+    TrajectoryReplayBuffer,
+)
