@@ -125,19 +125,25 @@ class AtariPreprocessing:
     total_reward = 0.0
     terminated = truncated = False
     info = {}
+    frames_stepped = 0
     for t in range(self.frame_skip):
       frame, reward, terminated, truncated, info = self.env.step(action)
+      frames_stepped += 1
       total_reward += float(reward)
       # Pool over the final two raw frames only (standard ALE pooling).
       if t >= self.frame_skip - 2:
         self._pool_buf[t - (self.frame_skip - 2)] = self._to_gray(frame)
       if terminated or truncated:
         break
-    if self.frame_skip == 1:
+    if frames_stepped < self.frame_skip or self.frame_skip == 1:
+      # Early termination inside the skip loop (or no pooling window at
+      # all): the pool buffer may still hold frames from the PREVIOUS
+      # step — the terminal observation must be the last frame actually
+      # seen, not a stale max-pool (ADVICE r3).
       self._pool_buf[0] = self._to_gray(frame)
       self._pool_buf[1] = self._pool_buf[0]
 
-    self._steps += self.frame_skip
+    self._steps += frames_stepped
     if self._steps >= self.max_episode_steps:
       truncated = True
 

@@ -55,7 +55,16 @@ class AlphaZeroPlanes:
   @staticmethod
   def _default_extract(tensor: np.ndarray, rows: int, cols: int):
     t = np.asarray(tensor, np.float32)
-    t = t.reshape(rows, cols, -1) if t.ndim != 3 else t
+    if t.ndim != 3:
+      # pyspiel ravels observation_tensor in observation_tensor_shape
+      # order, which is plane-major [P, H, W] for go/chess/tic_tac_toe
+      # (go.cc / chess.cc ObservationTensor) — reshape plane-major then
+      # move planes last. (The reference example's channels-last reshape
+      # at run_alphazero.py:90 scrambles real pyspiel planes; this is a
+      # deliberate divergence, not a parity bug.)
+      t = t.reshape(-1, rows, cols).transpose(1, 2, 0)
+    elif t.shape[:2] != (rows, cols) and t.shape[1:] == (rows, cols):
+      t = t.transpose(1, 2, 0)  # already 3-D but plane-major
     player = float(t[0, 0, 3]) if t.shape[-1] > 3 else 0.0
     return t[..., 0], t[..., 1], player
 

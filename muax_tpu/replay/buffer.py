@@ -93,6 +93,11 @@ def replay_add(state: ReplayState, segments: Transition,
     keep = state.capacity
     segments = jax.tree.map(lambda x: x[-keep:], segments)
     step_priorities = step_priorities[-keep:]
+  # Floor priorities at insert so the inverse-CDF sampler never sees an
+  # all-zero filled region (u=0 + searchsorted would then deterministically
+  # return slot C-1, possibly unfilled). The buffer enforces the invariant
+  # itself rather than relying on callers' +1e-6 (ADVICE r3).
+  step_priorities = jnp.maximum(step_priorities, 1e-9)
   k = segments.action.shape[0]
   idx = (state.cursor + jnp.arange(k)) % state.capacity
   return state.replace(
@@ -203,7 +208,9 @@ def replay_update_priorities(state: ReplayState, seg_idx: jax.Array,
                              starts: jax.Array,
                              new_priorities: jax.Array) -> ReplayState:
   """In-place refresh of the sampled windows' start-step priorities
-  (replaces the reference's async Reverb mutation, learning.py:108-121)."""
+  (replaces the reference's async Reverb mutation, learning.py:108-121).
+  Priorities are floored at 1e-9 so refreshed slots stay sampleable (same
+  invariant as replay_add)."""
   return state.replace(
       step_priorities=state.step_priorities.at[seg_idx, starts]
-      .set(new_priorities))
+      .set(jnp.maximum(new_priorities, 1e-9)))

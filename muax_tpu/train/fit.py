@@ -204,6 +204,22 @@ def fit(
           f"{saved_hash} but fit() was called with {_config_hash(config)}; "
           "resume requires the identical config (SPI/warm-up counters are "
           "not transferable). Pass the original config or start fresh.")
+    # The optimizer isn't part of MuZeroConfig, so config_hash can't catch
+    # a checkpoint written under a different optimizer FORMAT (e.g. the
+    # r3 muzero_optimizer flatten=True default change turned the opt_state
+    # from a pytree of moments into one flat vector). Detect the structure
+    # mismatch here with a readable error instead of a deep-in-optax
+    # tree-structure crash on the first update (ADVICE r3).
+    loaded_opt = jax.tree.structure(ckpt["train_state"].opt_state)
+    expected_opt = jax.tree.structure(train_state.opt_state)
+    if loaded_opt != expected_opt:
+      raise ValueError(
+          f"checkpoint {resume_from} holds an opt_state with structure\n  "
+          f"{loaded_opt}\nbut the optimizer passed to fit() produces\n  "
+          f"{expected_opt}\n(most likely a flattened vs pytree optimizer "
+          "format change — see models.optimizers.muzero_optimizer's "
+          "`flatten` flag). Resume with the optimizer the checkpoint was "
+          "written with.")
     train_state = ckpt["train_state"]
     replay_state = ckpt["replay_state"]
     env_carry = ckpt["env_carry"]

@@ -147,6 +147,29 @@ def _gcd(a: int, b: int) -> int:
   return a
 
 
+def _interleave_chunks(big, group: int, B: int):
+  """[group*B, ...] mega-batch -> [group, B, ...] chunks, COLUMN-major:
+  mega-batch row i lands in chunk ``i % group`` at position ``i // group``.
+
+  replay_sample places the online-queue rows in the LAST ``num_online``
+  rows of the mega-batch; column-major chunking spreads them evenly across
+  the group's batches, so every gradient step sees its proportional
+  online/offline mix — matching the reference's flattened dataset read
+  (acme/jax/muzero/builder.py:189-230). Row-major chunking would give the
+  first chunks all-offline and the last all-online batches (ADVICE r3).
+  """
+  return jax.tree.map(
+      lambda x: jnp.swapaxes(x.reshape((B, group) + x.shape[1:]), 0, 1),
+      big)
+
+
+def _deinterleave_flat(per_chunk: jax.Array, B: int) -> jax.Array:
+  """Inverse of :func:`_interleave_chunks` for per-row outputs: a
+  [group, B] array (chunk-order) back to a flat [group*B] array in
+  mega-batch row order."""
+  return jnp.swapaxes(per_chunk, 0, 1).reshape(-1)
+
+
 def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
                          axis_name: str | None = None):
   """N updates per call, presampled in GROUPS (the reference's dataset
@@ -194,8 +217,7 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
         # make_dataset_iterator, builder.py:194-199). Stored and rollout
         # observations are never touched.
         big = big.replace(obs=tcfg.observation_transform(aug_rng, big.obs))
-      chunks = jax.tree.map(
-          lambda x: x.reshape((group, B) + x.shape[1:]), big)
+      chunks = _interleave_chunks(big, group, B)
       staleness = jnp.mean(
           (ts.step - rs.target_step[seg_idx]).astype(jnp.float32))
 
@@ -225,10 +247,12 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
       # One in-place priority refresh per group (the async Reverb mutation
       # cadence, learning.py:108-121). Windows drawn twice within a group
       # keep an unspecified winner — the same race the reference's async
-      # mutations have.
-      flat_prios = (prios + 1e-6).reshape(-1)
+      # mutations have. prios is [group, B] in chunk order; de-interleave
+      # back to mega-batch row order to line up with seg_idx/starts.
+      flat_prios = _deinterleave_flat(prios, B) + 1e-6
       current = rs.step_priorities[seg_idx, starts]
-      keep_mask = jnp.repeat(executed, B) > 0
+      keep_mask = _deinterleave_flat(
+          jnp.broadcast_to(executed[:, None], (group, B)), B) > 0
       rs = replay_update_priorities(
           rs, seg_idx, starts, jnp.where(keep_mask, flat_prios, current))
       metrics = {**metrics, "target_staleness":

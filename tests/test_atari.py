@@ -169,3 +169,33 @@ def test_vector_pool_requires_ale():
     pass
   with pytest.raises(ImportError, match="ale_py"):
     AtariVectorPool("Pong", num_envs=2)
+
+
+def test_early_terminal_uses_last_frame_not_stale_pool():
+  """Termination at t < frame_skip-1 must pool the LAST seen frame, not
+  frames left over from the previous step (ADVICE r3). terminate_at=5:
+  step 1 runs raw frames 1-4 (pool holds 3,4), step 2's first raw frame
+  (t=5) terminates -> terminal obs must be luma(5), not max(3,4)."""
+  fake = FakeAtariEnv(terminate_at=5)
+  env = AtariPreprocessing(fake, frame_skip=4, screen_size=8,
+                           terminal_on_life_loss=False)
+  env.reset()
+  env.step(0)
+  obs, _, terminated, _, _ = env.step(0)
+  assert terminated
+  np.testing.assert_allclose(obs.max(), 0.299 * 5 / 255.0, rtol=1e-5)
+
+
+def test_step_cap_counts_only_executed_frames():
+  """An early break must advance the raw-frame counter by the frames
+  actually stepped, so max_episode_steps counts real frames (ADVICE r3)."""
+  fake = FakeAtariEnv(lives=3, terminate_at=1000)
+  env = AtariPreprocessing(fake, frame_skip=4, terminal_on_life_loss=False,
+                           max_episode_steps=8)
+  env.reset()
+  env.step(0)                         # 4 raw frames
+  fake.terminate_at = 6               # next step terminates after 2 frames
+  _, _, terminated, truncated, _ = env.step(0)
+  assert terminated
+  assert env._steps == 6              # 4 + 2 actually-executed frames
+  assert not truncated                # 6 < 8: the cap did not fire

@@ -273,3 +273,74 @@ class TestGroupedGating:
                           jnp.asarray(0, jnp.int32))
     np.testing.assert_array_equal(np.asarray(new_replay.step_priorities),
                                   np.asarray(replay.step_priorities))
+
+
+class TestGroupedInterleave:
+  """Grouped presampling must hand every chunk its proportional
+  online/offline mix (ADVICE r3: a row-major reshape gave the first chunks
+  all-offline and the last all-online batches)."""
+
+  def test_online_tail_spreads_across_chunks(self):
+    from muax_tpu.train.learner import _interleave_chunks
+    group, B, num_online = 8, 32, 128  # acme_defaults shape: offline 0.5
+    # Mega-batch rows tagged: 0 = offline draw, 1 = online-queue draw
+    # (replay_sample puts online rows LAST).
+    tag = jnp.concatenate([jnp.zeros(group * B - num_online),
+                           jnp.ones(num_online)])
+    chunks = _interleave_chunks(tag, group, B)
+    per_chunk_online = np.asarray(chunks.sum(axis=1))
+    np.testing.assert_array_equal(per_chunk_online,
+                                  np.full(group, num_online / group))
+
+  def test_deinterleave_roundtrip(self):
+    from muax_tpu.train.learner import (_deinterleave_flat,
+                                        _interleave_chunks)
+    group, B = 4, 6
+    big = jnp.arange(group * B, dtype=jnp.float32)
+    chunks = _interleave_chunks(big, group, B)
+    np.testing.assert_array_equal(np.asarray(_deinterleave_flat(chunks, B)),
+                                  np.asarray(big))
+
+  def test_priorities_land_on_sampled_rows(self):
+    """With interleaved chunks, the priority scatter must still hit the
+    rows replay_sample returned — refresh every sampled window."""
+    from muax_tpu.train.learner import make_multi_update_fn
+    config, networks, opt, state, replay = TestUpdateFn._setup(
+        TestUpdateFn())
+    config.train.updates_per_iteration = 4
+    config.train.presample_updates = 4
+    config.replay.offline_fraction = 0.5
+    config.replay.online_queue_size = 4
+    mu = jax.jit(make_multi_update_fn(networks, opt, config))
+    _, new_replay, metrics = mu(state, replay, jax.random.PRNGKey(0))
+    assert int(metrics["updates_done"]) == 4
+    assert not np.allclose(np.asarray(new_replay.step_priorities),
+                           np.asarray(replay.step_priorities))
+
+
+class TestResumeOptFormatGuard:
+  """fit(resume_from=...) raises a readable error when the checkpoint's
+  opt_state structure doesn't match the optimizer passed in (ADVICE r3:
+  the flatten=True default change silently broke old checkpoints)."""
+
+  def test_mismatched_opt_state_structure_raises(self, tmp_path):
+    from muax_tpu.envs.cartpole import CartPole
+    from muax_tpu.train.fit import fit
+    config = MuZeroConfig(
+        search=SearchConfig(num_simulations=2),
+        replay=ReplayConfig(capacity=16, min_fill=2),
+        train=TrainConfig(num_envs=2, collect_steps=8, batch_size=4,
+                          unroll_steps=3, updates_per_iteration=1))
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    env = CartPole()
+    _, results = fit(env, networks=networks, config=config,
+                     optimizer=muzero_optimizer(flatten=True),
+                     num_iterations=1, model_dir=str(tmp_path),
+                     checkpoint_every=1, log_every=10,
+                     log_fn=lambda *_: None)
+    ckpt = str(tmp_path / "ckpt_latest.pkl")
+    with pytest.raises(ValueError, match="opt_state with structure"):
+      fit(env, networks=networks, config=config,
+          optimizer=muzero_optimizer(flatten=False),
+          num_iterations=2, model_dir=str(tmp_path), resume_from=ckpt,
+          log_every=10, log_fn=lambda *_: None)

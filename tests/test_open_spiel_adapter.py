@@ -49,12 +49,13 @@ class FakeState:
     return [0.0, 0.0]
 
   def observation_tensor(self, player):
-    # open_spiel-style [H*W*planes]: black, white, empty, current player.
-    t = np.zeros((1, 3, 4), np.float32)
-    t[..., 0] = self.board == 1
-    t[..., 1] = self.board == 2
-    t[..., 2] = self.board == 0
-    t[..., 3] = float(self.player)
+    # Real pyspiel ravels in observation_tensor_shape order, which is
+    # plane-major [P, H, W]: black, white, empty, current-player planes.
+    t = np.zeros((4, 1, 3), np.float32)
+    t[0, 0] = self.board == 1
+    t[1, 0] = self.board == 2
+    t[2, 0] = self.board == 0
+    t[3] = float(self.player)
     return t.ravel()
 
 
@@ -112,6 +113,26 @@ def test_planes_history_and_player():
   obs = planes.observe(t2)
   assert obs[0, 2, 1] == 1.0             # newest white
   assert obs[0, 1, 2] == 1.0             # previous black now at slot 1
+
+
+def test_default_extract_plane_major_layout():
+  """A flat pyspiel-style plane-major ravel must come back unscrambled
+  (ADVICE r3: the reference example's channels-last reshape at
+  run_alphazero.py:90 scrambles real pyspiel planes)."""
+  rows, cols = 2, 3
+  t = np.zeros((4, rows, cols), np.float32)
+  t[0, 1, 2] = 1.0    # one black stone at (1, 2)
+  t[1, 0, 1] = 1.0    # one white stone at (0, 1)
+  t[3] = 1.0          # player 1 to move
+  black, white, player = AlphaZeroPlanes._default_extract(
+      t.ravel(), rows, cols)
+  assert black[1, 2] == 1.0 and black.sum() == 1.0
+  assert white[0, 1] == 1.0 and white.sum() == 1.0
+  assert player == 1.0
+  # Already-3-D plane-major input transposes too.
+  black2, white2, _ = AlphaZeroPlanes._default_extract(t, rows, cols)
+  np.testing.assert_array_equal(black2, black)
+  np.testing.assert_array_equal(white2, white)
 
 
 def test_pool_steps_and_mover_rewards():

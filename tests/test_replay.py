@@ -118,3 +118,18 @@ def test_add_more_than_capacity_keeps_newest():
   assert got == [2.0, 3.0, 4.0, 5.0]
   got_p = sorted(float(state.step_priorities[i, 0]) for i in range(4))
   assert got_p == [3.0, 4.0, 5.0, 6.0]
+
+
+def test_zero_priorities_still_sampleable():
+  """The buffer enforces its own priority floor (ADVICE r3): all-zero
+  insert/refresh priorities must not make filled slots unsampleable or let
+  the inverse-CDF draw return an unfilled slot."""
+  state = replay_init(8, 6, (4,), 2)
+  segs = make_segments(3, 6, fill=1.0)
+  state = replay_add(state, segs, jnp.zeros((3, 6)))   # zero priorities
+  batch, seg_idx, _ = replay_sample(state, jax.random.PRNGKey(0), 16, 3)
+  assert np.all(np.asarray(seg_idx) < 3)               # only filled slots
+  state = replay_update_priorities(state, seg_idx, jnp.zeros(16, jnp.int32),
+                                   jnp.zeros(16))      # zero refresh
+  _, seg_idx2, _ = replay_sample(state, jax.random.PRNGKey(1), 16, 3)
+  assert np.all(np.asarray(seg_idx2) < 3)
