@@ -78,6 +78,14 @@ class TrainConfig:
   # as one op for the MLP family on TPU backends (grad parity test-pinned
   # against jax.grad); other families / CPU fall back to jax.grad.
   fused_learner: bool = True
+  # Fused Pallas replay sampler (replay/fused_sampler.py): the grouped
+  # learner's segment gather + window extraction as one MXU one-hot-matmul
+  # kernel, feeding the raw-input learner kernel with zero per-update XLA
+  # prep. Engages only when the fused learner itself engages AND the ring
+  # fits the kernel (capacity <= 8192 segments, flat obs <= 64 features,
+  # group*batch a multiple of 128, no observation_transform); everything
+  # else keeps the XLA replay_sample path.
+  fused_sampler: bool = True
   # Updates per one replay_sample call: the learner presamples
   # `presample_updates` batches in ONE sample (the reference dataset
   # batching — gradient_steps_per_learner_step batches fetched in one

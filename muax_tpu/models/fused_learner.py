@@ -139,10 +139,23 @@ def _elu(x):
 
 def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
                  n_repr_hidden: int, n_pred_hidden: int, n_dyn_hidden: int,
-                 gradient_scale: float, l2_coef: float, support_size: int):
+                 gradient_scale: float, l2_coef: float, support_size: int,
+                 raw_layout=None):
   """Kernel body. Transposed layout: features on sublanes, batch on the
   128-lane axis. All activations live as SSA values in VMEM for the whole
-  forward+backward — nothing spills to HBM."""
+  forward+backward — nothing spills to HBM.
+
+  Two input conventions share one body:
+    * pre-built refs (obs, a_onehot, pi, value/reward two-hots, mask, coef)
+      — the original per-batch entry (``fused_muzero_grad``), or
+    * ``raw_layout`` set: ONE raw ref in the fused sampler's row layout
+      (replay/fused_sampler.RawLayout) plus coef; action one-hots and the
+      h-transform two-hot targets are built IN KERNEL from the raw scalar
+      rows — this removes every per-update XLA prep op (one_hot,
+      scalar_to_support, transposes), the dominant learner cost in the r4
+      profile (scripts/profile_learner.py: ~1.1 ms/update of glue vs
+      0.2 ms of gradient).
+  """
 
   n_w = 2 * (n_repr_hidden + 1 + n_pred_hidden + 2 + n_dyn_hidden + 2)
 
@@ -190,11 +203,54 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
     return s - jnp.log(jnp.sum(jnp.exp(s), axis=0, keepdims=True))
 
   def kernel(*refs):
-    (obs_ref, aoh_ref, pit_ref, vt_ref, rt_ref, mask_ref, coef_ref) = refs[:7]
-    wrefs = refs[7:7 + n_w]
-    dw_refs = refs[7 + n_w:7 + 2 * n_w]
-    met_ref = refs[7 + 2 * n_w]
-    l2_ref = refs[7 + 2 * n_w + 1]
+    if raw_layout is None:
+      (obs_ref, aoh_ref, pit_ref, vt_ref, rt_ref, mask_ref,
+       coef_ref) = refs[:7]
+      n_in = 7
+      obs_v = obs_ref[:]
+      aoh_v = aoh_ref[:]
+      pit_v = pit_ref[:]
+      vt_v = vt_ref[:]
+      rt_v = rt_ref[:]
+      mask_v = mask_ref[:]
+    else:
+      raw_ref, coef_ref = refs[:2]
+      n_in = 2
+      lay = raw_layout
+      raw = raw_ref[:]
+      obs_v = raw[lay.obs:lay.obs + O, :]
+
+      a_bins = (jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
+                .astype(jnp.float32))
+      s_bins = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
+                .astype(jnp.float32) - float(support_size))
+
+      def two_hot(x):
+        """scalar_to_support (ops/support.py:37-56) on a [1, T] row."""
+        y = jnp.sign(x) * (jnp.sqrt(jnp.abs(x) + 1.0) - 1.0) + _H_EPS * x
+        y = jnp.clip(y, -float(support_size), float(support_size))
+        low = jnp.floor(y)
+        ph = y - low
+        high = jnp.minimum(low + 1.0, float(support_size))
+        return ((s_bins == low).astype(jnp.float32) * (1.0 - ph)
+                + (s_bins == high).astype(jnp.float32) * ph)
+
+      aoh_rows, vt_rows, rt_rows = [], [], []
+      for i in range(L):
+        act = raw[lay.action + i:lay.action + i + 1, :]
+        aoh_rows.append((a_bins == act).astype(jnp.float32))
+        vt_rows.append(two_hot(raw[lay.rn + i:lay.rn + i + 1, :]))
+        rt_rows.append(two_hot(raw[lay.reward + i:lay.reward + i + 1, :]))
+      aoh_v = jnp.concatenate(aoh_rows, axis=0)
+      vt_v = jnp.concatenate(vt_rows, axis=0)
+      rt_v = jnp.concatenate(rt_rows, axis=0)
+      pit_v = raw[lay.pi:lay.pi + L * A, :]    # already step-major j*A + a
+      mask_v = raw[lay.mask:lay.mask + L, :]
+
+    wrefs = refs[n_in:n_in + n_w]
+    dw_refs = refs[n_in + n_w:n_in + 2 * n_w]
+    met_ref = refs[n_in + 2 * n_w]
+    l2_ref = refs[n_in + 2 * n_w + 1]
 
     cursor = [0]
 
@@ -216,7 +272,7 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
     coef = coef_ref[:]                      # [1, T] weight/(denom*B)
 
     # ------------------------------ forward ------------------------------
-    x = obs_ref[:]
+    x = obs_v
     repr_acts = [x]
     for w, b in repr_hidden:
       x = _elu(matTx(w, x) + b)
@@ -232,7 +288,7 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
     v0 = None
 
     for i in range(L):
-      mask = mask_ref[i:i + 1, :]
+      mask = mask_v[i:i + 1, :]
       # prediction
       h = s
       pred_acts = [h]
@@ -243,8 +299,8 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
       p_logits = matTx(pred_policy[0], h) + pred_policy[1]
       v_ls = log_softmax(v_logits)
       p_ls = log_softmax(p_logits)
-      vt = vt_ref[i * S41:(i + 1) * S41, :]
-      pit = pit_ref[i * A:(i + 1) * A, :]
+      vt = vt_v[i * S41:(i + 1) * S41, :]
+      pit = pit_v[i * A:(i + 1) * A, :]
       v_sum += mask * (-jnp.sum(vt * v_ls, axis=0, keepdims=True))
       p_sum += mask * (-jnp.sum(pit * p_ls, axis=0, keepdims=True))
       if i == 0:
@@ -258,7 +314,7 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
             / (2.0 * eps)) - 1.0)
 
       # dynamics (scale_gradient on s applies in backward only)
-      a_oh = aoh_ref[i * A:(i + 1) * A, :]
+      a_oh = aoh_v[i * A:(i + 1) * A, :]
       g = None
       dyn_acts = []
       for j, (w, b) in enumerate(dyn_hidden):
@@ -270,7 +326,7 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
         dyn_acts.append(g)
       r_logits = matTx(dyn_reward[0], g) + dyn_reward[1]
       r_ls = log_softmax(r_logits)
-      rt = rt_ref[i * S41:(i + 1) * S41, :]
+      rt = rt_v[i * S41:(i + 1) * S41, :]
       r_sum += mask * (-jnp.sum(rt * r_ls, axis=0, keepdims=True))
       s_pre = matTx(dyn_state[0], g) + dyn_state[1]
       s_next = minmax_fwd(s_pre)
@@ -513,6 +569,122 @@ def fused_muzero_grad(
   per_example = (r_sum + v_sum + p_sum) / denom
   total = jnp.sum(coef * per_example * denom) + l2  # = mean(w*per_ex) + l2
   priorities = jnp.abs(v0 - batch.rn[:, 0]) ** priority_alpha
+  metrics = LossMetrics(
+      total=total,
+      reward_loss=jnp.mean(r_sum / denom),
+      value_loss=jnp.mean(v_sum / denom),
+      policy_loss=jnp.mean(p_sum / denom),
+      l2_loss=l2,
+      priorities=jax.lax.stop_gradient(priorities),
+  )
+  return grads, metrics
+
+
+def fused_muzero_grad_raw(
+    params,
+    raw: jax.Array,               # [R, B] fused-sampler rows (RawLayout)
+    coef: jax.Array,              # [B] = weight / denom / B
+    raw_layout,
+    networks,
+    lw: LearnerWeights,
+    *,
+    l2_coef: float = 1e-4,
+    gradient_scale: float = 0.5,
+    priority_alpha: float = 0.5,
+    num_unroll_steps: Optional[int] = None,
+    batch_tile: int = 512,
+    interpret: Optional[bool] = None,
+):
+  """``fused_muzero_grad`` fed straight from the fused sampler's raw rows:
+  no per-update XLA prep (one_hot / scalar_to_support / transposes) — the
+  kernel builds targets in VMEM (see _make_kernel's raw_layout mode).
+  Semantics identical to fused_muzero_grad on the equivalent Transition
+  batch (test-pinned, tests/test_fused_learner.py)."""
+  from muax_tpu.models.losses import LossMetrics
+
+  if interpret is None:
+    interpret = jax.default_backend() == "cpu"
+  lay = raw_layout
+  B = raw.shape[1]
+  L = num_unroll_steps or lay.K
+  A = networks.num_actions
+  S = networks.support_size
+  S41 = 2 * S + 1
+  E = lw.repr_out[1].shape[1]
+  O = lay.O
+
+  T = min(batch_tile, _round_up(B, 128))
+  G = -(-B // T)
+  BP = G * T
+  coef_in = coef.astype(jnp.float32)[None, :]
+  if BP != B:
+    raw = jnp.pad(raw, ((0, 0), (0, BP - B)))
+    coef_in = jnp.pad(coef_in, ((0, 0), (0, BP - B)))
+
+  order = _weight_order(lw)
+  wlist = []
+  for _, _, w, b in order:
+    wlist.append(jnp.asarray(w, jnp.float32))
+    wlist.append(jnp.reshape(jnp.asarray(b, jnp.float32), (-1, 1)))
+  n_w = len(wlist)
+
+  kernel = _make_kernel(
+      T=T, L=L, O=O, E=E, A=A, S41=S41,
+      n_repr_hidden=len(lw.repr_layers),
+      n_pred_hidden=len(lw.pred_layers),
+      n_dyn_hidden=len(lw.dyn_layers),
+      gradient_scale=gradient_scale, l2_coef=l2_coef, support_size=S,
+      raw_layout=lay)
+
+  def col_spec(rows):
+    return pl.BlockSpec((rows, T), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+  def const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+  in_specs = ([col_spec(lay.rows), col_spec(1)]
+              + [const_spec(w.shape) for w in wlist])
+  out_specs = ([const_spec(w.shape) for w in wlist]
+               + [col_spec(8), const_spec((1, 1))])
+  out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wlist]
+               + [jax.ShapeDtypeStruct((8, BP), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.float32)])
+
+  outs = pl.pallas_call(
+      kernel,
+      grid=(G,),
+      in_specs=in_specs,
+      out_specs=tuple(out_specs),
+      out_shape=tuple(out_shape),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(raw, coef_in, *wlist)
+
+  dw_list, met, l2 = outs[:n_w], outs[n_w], outs[n_w + 1]
+
+  grads = {"representation": {}, "prediction": {}, "dynamic": {}}
+  for k, (net, name, w, _) in enumerate(order):
+    grads[net][name] = {"w": dw_list[2 * k],
+                        "b": dw_list[2 * k + 1].reshape(-1)}
+  grads = type(params)(
+      representation=grads["representation"],
+      prediction=grads["prediction"],
+      dynamic=grads["dynamic"],
+      temperature=jnp.zeros_like(params.temperature))
+
+  v_sum = met[0, :B]
+  p_sum = met[1, :B]
+  r_sum = met[2, :B]
+  v0 = met[3, :B]
+  l2 = l2[0, 0]
+  denom = raw[lay.denom, :B]
+  rn0 = raw[lay.rn, :B]
+  per_example = (r_sum + v_sum + p_sum) / denom
+  total = jnp.sum(coef * per_example * denom) + l2
+  priorities = jnp.abs(v0 - rn0) ** priority_alpha
   metrics = LossMetrics(
       total=total,
       reward_loss=jnp.mean(r_sum / denom),

@@ -923,3 +923,521 @@ def fused_mlp_gumbel_policy(
   action_weights = jax.nn.softmax(
       _mask_invalid(masked_logits + completed_q, invalid_actions), -1)
   return action, action_weights, root_value
+
+
+# ---------------------------------------------------------------------------
+# Stochastic MuZero: decision/chance interleave over A' = A + C as one kernel
+# ---------------------------------------------------------------------------
+
+
+class FusedSMZWeights(NamedTuple):
+  """Flat weight views for the SMZ interior nets (decision / chance /
+  prediction towers, models/stochastic_networks.py). Node type is derived,
+  not stored: a node created by a chance outcome (creating action >= A) is
+  a decision node, the root is a decision node, everything else is an
+  afterstate (chance node) — strict alternation by construction
+  (search/policies.py:195-204)."""
+  dec_layers: tuple    # ((W, b), ...) elu hidden; first W in = E + A
+  dec_state: tuple     # (W [H, E], b)   afterstate head (creation order 1st)
+  dec_chance: tuple    # (W [H, C], b)
+  dec_value: tuple     # (W [H, 2S+1], b)
+  ch_layers: tuple     # first W in = E + C
+  ch_state: tuple      # (W [H, E], b)
+  ch_reward: tuple     # (W [H, 2S+1], b)
+  pred_layers: tuple
+  pred_policy: tuple   # (W [H, A], b)
+  pred_value: tuple    # (W [H, 2S+1], b)
+
+
+def extract_smz_fused_weights(networks, params) -> Optional[FusedSMZWeights]:
+  """Pull the 3 interior towers out of SMZParams; None when the structure
+  is not the plain dense 5-net (caller falls back to the XLA engine)."""
+  A = getattr(networks, "num_actions", None)
+  C = getattr(networks, "num_chance_outcomes", None)
+  S = getattr(networks, "support_size", None)
+  if A is None or C is None or S is None:
+    return None
+  S41 = 2 * S + 1
+  dec = _sorted_linears(params.decision)
+  ch = _sorted_linears(params.chance)
+  pred = _sorted_linears(params.prediction)
+  if not dec or not ch or not pred or len(dec) < 4 or len(ch) < 3 or len(
+      pred) < 3:
+    return None
+  # Creation order (make_stochastic_mlp_networks): decision = hidden...,
+  # afterstate(E), chance(C), value(S41); chance = hidden..., state(E),
+  # reward(S41); prediction = hidden..., policy(A), value(S41).
+  *d_hidden, d_state, d_chance, d_value = dec
+  *c_hidden, c_state, c_reward = ch
+  *p_hidden, p_policy, p_value = pred
+  E = d_state[0].shape[1]
+  ok = (d_chance[0].shape[1] == C and d_value[0].shape[1] == S41
+        and c_state[0].shape[1] == E and c_reward[0].shape[1] == S41
+        and p_policy[0].shape[1] == A and p_value[0].shape[1] == S41
+        and dec[0][0].shape[0] == E + A and ch[0][0].shape[0] == E + C
+        and pred[0][0].shape[0] == E)
+  if not ok:
+    return None
+  return FusedSMZWeights(
+      dec_layers=tuple(d_hidden), dec_state=d_state, dec_chance=d_chance,
+      dec_value=d_value, ch_layers=tuple(c_hidden), ch_state=c_state,
+      ch_reward=c_reward, pred_layers=tuple(p_hidden),
+      pred_policy=p_policy, pred_value=p_value)
+
+
+def _make_smz_kernel(*, T: int, NP: int, AD: int, C: int, E: int, S41: int,
+                     n_dec_hidden: int, n_ch_hidden: int, n_pred_hidden: int,
+                     num_simulations: int, max_depth: int, discount: float,
+                     pb_c_init: float, pb_c_base: float, support_size: int):
+  """Stochastic-MuZero forest kernel (policies.stochastic_muzero_policy
+  semantics over the extended action space A' = AD + C):
+
+    * decision nodes score their AD decision slots with MuZero PUCT +
+      parent-and-siblings qtransform; chance nodes track their prior with
+      p(o) - n(o)/(1+N) over the C chance slots
+      (_stochastic_interior_selection);
+    * expansion runs decision, chance AND prediction towers and blends by
+      the parent's node type (the both-branches idiom of
+      _make_stochastic_recurrent_fn — cheaper than divergence in lockstep);
+    * rewards and the environment discount live on CHANCE edges only;
+      decision edges are reward-0 discount-1 (policies.py:206-211) — the
+      per-edge discount is derived from the SLOT index, which is exact
+      because decision slots of chance nodes (and vice versa) are never
+      expanded.
+  """
+  AP = AD + C
+  CP = NP * AP
+
+  def kernel(*refs):
+    (root_emb_ref, root_logits_ref, root_value_ref, invalid_ref) = refs[:4]
+    n_wrefs = 2 * (n_dec_hidden + 3 + n_ch_hidden + 2 + n_pred_hidden + 2)
+    wrefs = list(refs[4:4 + n_wrefs])
+    out_visits_ref, out_value_ref, out_q_ref = refs[4 + n_wrefs:7 + n_wrefs]
+    (nvis_ref, nval_ref, nraw_ref, npar_ref, nact_ref,
+     cidx_ref, cpri_ref, cvis_ref, crew_ref, cval_ref,
+     emb_ref) = refs[7 + n_wrefs:]
+
+    cursor = [0]
+
+    def take():
+      w = wrefs[cursor[0]][:]
+      b = wrefs[cursor[0] + 1][:]
+      cursor[0] += 2
+      return w, b
+
+    dec_hidden = [take() for _ in range(n_dec_hidden)]
+    dec_state = take()
+    dec_chance = take()
+    dec_value = take()
+    ch_hidden = [take() for _ in range(n_ch_hidden)]
+    ch_state = take()
+    ch_reward = take()
+    pred_hidden = [take() for _ in range(n_pred_hidden)]
+    pred_policy = take()
+    pred_value = take()
+
+    def matTx(w, x):
+      return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    nrow = jax.lax.broadcasted_iota(jnp.int32, (NP, T), 0).astype(jnp.float32)
+    crow = jax.lax.broadcasted_iota(jnp.int32, (CP, T), 0).astype(jnp.float32)
+    row_n = jnp.floor(crow / AP)
+    slot_a = crow - row_n * AP
+    dec_slot = (slot_a < AD).astype(jnp.float32)        # [CP, T] static
+    gamma_cp = dec_slot + (1.0 - dec_slot) * discount   # per-edge discount
+    invalid_cp = jnp.tile(invalid_ref[:], (NP, 1))
+
+    # ---- forest init (root = decision node; chance slots pre-masked in
+    # the extended root logits) ----
+    root_row = nrow == 0.0
+    rv = root_value_ref[:]
+    nvis_ref[:] = jnp.where(root_row, 1.0, 0.0)
+    nval_ref[:] = jnp.where(root_row, rv, 0.0)
+    nraw_ref[:] = jnp.where(root_row, rv, 0.0)
+    npar_ref[:] = jnp.full((NP, T), -1.0, jnp.float32)
+    nact_ref[:] = jnp.full((NP, T), -1.0, jnp.float32)
+    cidx_ref[:] = jnp.full((CP, T), -1.0, jnp.float32)
+    probs = jax.nn.softmax(root_logits_ref[:], axis=0)
+    cpri_ref[:] = jnp.where(row_n == 0.0, jnp.tile(probs, (NP, 1)), 0.0)
+    cvis_ref[:] = jnp.zeros((CP, T), jnp.float32)
+    crew_ref[:] = jnp.zeros((CP, T), jnp.float32)
+    cval_ref[:] = jnp.zeros((CP, T), jnp.float32)
+    for e in range(E):
+      emb_ref[e] = jnp.where(root_row, root_emb_ref[e:e + 1, :], 0.0)
+
+    def gather_np(ref_or_val, oh):
+      v = ref_or_val[:] if hasattr(ref_or_val, "at") else ref_or_val
+      return jnp.sum(jnp.where(oh, v, 0.0), axis=0, keepdims=True)
+
+    zero_r = jnp.sum(invalid_ref[:1, :] * 0.0, axis=0, keepdims=True)
+
+    def node_is_decision():
+      """[NP, T] f32: created by a chance outcome, or the root."""
+      return jnp.where(
+          jnp.logical_or(nact_ref[:] >= float(AD), nrow == 0.0), 1.0, 0.0)
+
+    def decode_support(logits_):
+      p = jax.nn.softmax(logits_, axis=0)
+      idx = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
+             .astype(jnp.float32))
+      bins = idx - float(support_size)
+      return _inv_value_transform(
+          jnp.sum(p * bins, axis=0, keepdims=True))
+
+    def run_tower(x, layers, first_split=None):
+      for i, (w, b) in enumerate(layers):
+        if i == 0 and first_split is not None:
+          emb_x, a_x = first_split
+          h = matTx(w[:E], emb_x) + matTx(w[E:], a_x) + b
+        else:
+          h = matTx(w, x) + b
+        x = _elu(h)
+      return x
+
+    def _stoch_score(cur, depth):
+      node_oh = nrow == cur
+      rowmask = row_n == cur
+      fdec = gather_np(node_is_decision(), node_oh)     # [1, T]
+      nvisit = gather_np(nvis_ref, node_oh)
+      nvalue = gather_np(nval_ref, node_oh)
+      cvis = cvis_ref[:]
+      # Decision branch: MuZero PUCT + parent-and-siblings qtransform with
+      # the per-slot edge discount (decision edges: r=0, gamma=1).
+      q = crew_ref[:] + gamma_cp * cval_ref[:]
+      visited = cvis > 0.0
+      safe_q = jnp.where(visited, q, nvalue)
+      minq = jnp.min(jnp.where(rowmask, safe_q, _NEG * -1.0), axis=0,
+                     keepdims=True)
+      maxq = jnp.max(jnp.where(rowmask, safe_q, _NEG), axis=0,
+                     keepdims=True)
+      minv = jnp.minimum(nvalue, minq)
+      maxv = jnp.maximum(nvalue, maxq)
+      completed = jnp.where(visited, q, minv)
+      qn = (completed - minv) / jnp.maximum(maxv - minv, 1e-8)
+      pb_c = pb_c_init + jnp.log((nvisit + pb_c_base + 1.0) / pb_c_base)
+      dec_score = qn + (jnp.sqrt(nvisit) * pb_c) * cpri_ref[:] / (cvis + 1.0)
+      # Chance branch: prior-proportional visit tracking
+      # (_stochastic_interior_selection chance_score; the full-row visit
+      # sum equals the chance-slot sum because decision slots of a chance
+      # node are never visited).
+      sum_vis = jnp.sum(jnp.where(rowmask, cvis, 0.0), axis=0,
+                        keepdims=True)
+      ch_score = cpri_ref[:] - cvis / (1.0 + sum_vis)
+      score = jnp.where(fdec > 0.0, dec_score, ch_score)
+      # Only the parent-type-matching slot span is selectable.
+      valid = dec_slot == jnp.broadcast_to(fdec, (CP, T))
+      score = jnp.where(valid, score, _NEG)
+      score = jnp.where(
+          jnp.logical_and(depth == 0, invalid_cp > 0.0), _NEG, score)
+      return jnp.where(rowmask, score, _NEG)
+
+    def _select(score):
+      m = jnp.max(score, axis=0, keepdims=True)
+      best = jnp.min(jnp.where(score >= m, crow, 3e7), axis=0,
+                     keepdims=True)
+      a = best - jnp.floor(best / AP) * AP
+      child = jnp.sum(jnp.where(crow == best, cidx_ref[:], 0.0), axis=0,
+                      keepdims=True)
+      return best, a, child
+
+    def sim_body(s, _):
+      def d_cond(c):
+        return jnp.any(c[4] > 0.0)
+
+      def d_body(c):
+        cur, parent, act, depth, active = c
+        score = _stoch_score(cur, depth)
+        _, a, child = _select(score)
+        on = active > 0.0
+        parent = jnp.where(on, cur, parent)
+        act = jnp.where(on, a, act)
+        cur = jnp.where(on, child, cur)
+        depth = depth + 1
+        still = jnp.where(depth < max_depth, 1.0, 0.0)
+        active = active * jnp.where(child == -1.0, 0.0, 1.0) * still
+        return cur, parent, act, depth, active
+
+      init = (zero_r, zero_r - 1.0, zero_r - 1.0,
+              jnp.asarray(0, jnp.int32), zero_r + 1.0)
+      cur, parent, act, _, _ = jax.lax.while_loop(d_cond, d_body, init)
+
+      edge = parent * AP + act
+      edge_mask = crow == edge
+      existing = jnp.sum(jnp.where(edge_mask, cidx_ref[:], 0.0), axis=0,
+                         keepdims=True)
+      slot = jnp.where(existing < 0.0, (s + 1).astype(jnp.float32),
+                       existing)
+
+      # ---- expand: all three interior towers, blended by parent type ----
+      parent_oh = nrow == parent
+      f = gather_np(node_is_decision(), parent_oh)       # [1, T]
+      emb = jnp.concatenate(
+          [jnp.sum(jnp.where(parent_oh, emb_ref[e], 0.0), axis=0,
+                   keepdims=True) for e in range(E)], axis=0)
+
+      a_dec = (jax.lax.broadcasted_iota(jnp.int32, (AD, T), 0)
+               .astype(jnp.float32) == act).astype(jnp.float32)
+      o_oh = (jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)
+              .astype(jnp.float32) == act - float(AD)).astype(jnp.float32)
+
+      h_d = run_tower(None, dec_hidden, first_split=(emb, a_dec))
+      after_pre = matTx(dec_state[0], h_d) + dec_state[1]
+      mn = jnp.min(after_pre, axis=0, keepdims=True)
+      mx = jnp.max(after_pre, axis=0, keepdims=True)
+      afterstate = (after_pre - mn) / jnp.maximum(mx - mn, 1e-8)
+      chance_logits = matTx(dec_chance[0], h_d) + dec_chance[1]
+      av = decode_support(matTx(dec_value[0], h_d) + dec_value[1])
+
+      h_c = run_tower(None, ch_hidden, first_split=(emb, o_oh))
+      ns_pre = matTx(ch_state[0], h_c) + ch_state[1]
+      mn2 = jnp.min(ns_pre, axis=0, keepdims=True)
+      mx2 = jnp.max(ns_pre, axis=0, keepdims=True)
+      ns = (ns_pre - mn2) / jnp.maximum(mx2 - mn2, 1e-8)
+      reward_c = decode_support(matTx(ch_reward[0], h_c) + ch_reward[1])
+
+      h_p = run_tower(ns, pred_hidden)
+      pol = matTx(pred_policy[0], h_p) + pred_policy[1]
+      val_c = decode_support(matTx(pred_value[0], h_p) + pred_value[1])
+
+      value = f * av + (1.0 - f) * val_c
+      reward = (1.0 - f) * reward_c
+      new_emb = [f * afterstate[e:e + 1, :] + (1.0 - f) * ns[e:e + 1, :]
+                 for e in range(E)]
+      pri_new = jnp.concatenate(
+          [jax.nn.softmax(pol, axis=0) * (1.0 - f),
+           jax.nn.softmax(chance_logits, axis=0) * f], axis=0)  # [AP, T]
+
+      # ---- install (update_tree_node running-mean semantics) ----
+      slot_oh = nrow == slot
+      count = gather_np(nvis_ref, slot_oh)
+      oldv = gather_np(nval_ref, slot_oh)
+      blended = (oldv * count + value) / (count + 1.0)
+      nvis_ref[:] = nvis_ref[:] + jnp.where(slot_oh, 1.0, 0.0)
+      nval_ref[:] = jnp.where(slot_oh, blended, nval_ref[:])
+      nraw_ref[:] = jnp.where(slot_oh, value, nraw_ref[:])
+      npar_ref[:] = jnp.where(slot_oh, parent, npar_ref[:])
+      nact_ref[:] = jnp.where(slot_oh, act, nact_ref[:])
+      slot_rows = row_n == slot
+      cpri_ref[:] = jnp.where(slot_rows, jnp.tile(pri_new, (NP, 1)),
+                              cpri_ref[:])
+      crew_ref[:] = jnp.where(edge_mask, reward, crew_ref[:])
+      cidx_ref[:] = jnp.where(edge_mask, slot, cidx_ref[:])
+      for e in range(E):
+        emb_ref[e] = jnp.where(slot_oh, new_emb[e], emb_ref[e])
+
+      # ---- backup with the per-edge discount ----
+      def b_cond(c):
+        return jnp.any(c[0] != 0.0)
+
+      def b_body(c):
+        idx, v = c
+        activeb = jnp.where(idx != 0.0, 1.0, 0.0)
+        idx_oh = nrow == idx
+        par = jnp.sum(jnp.where(idx_oh, npar_ref[:], 0.0), axis=0,
+                      keepdims=True)
+        a_b = jnp.sum(jnp.where(idx_oh, nact_ref[:], 0.0), axis=0,
+                      keepdims=True)
+        par_oh = nrow == par
+        cnt = gather_np(nvis_ref, par_oh)
+        em = crow == (par * AP + a_b)
+        r = jnp.sum(jnp.where(em, crew_ref[:], 0.0), axis=0, keepdims=True)
+        gb = jnp.sum(jnp.where(em, gamma_cp, 0.0), axis=0, keepdims=True)
+        vnew = r + gb * v
+        pval = (gather_np(nval_ref, par_oh) * cnt + vnew) / (cnt + 1.0)
+        child_val = gather_np(nval_ref, idx_oh)
+        wm_np = jnp.where(par_oh, activeb, 0.0) > 0.0
+        nval_ref[:] = jnp.where(wm_np, pval, nval_ref[:])
+        nvis_ref[:] = nvis_ref[:] + jnp.where(wm_np, 1.0, 0.0)
+        wm_cp = jnp.where(em, activeb, 0.0) > 0.0
+        cval_ref[:] = jnp.where(wm_cp, child_val, cval_ref[:])
+        cvis_ref[:] = cvis_ref[:] + jnp.where(wm_cp, 1.0, 0.0)
+        on = activeb > 0.0
+        v = jnp.where(on, vnew, v)
+        idx = jnp.where(on, par, idx)
+        return idx, v
+
+      jax.lax.while_loop(b_cond, b_body, (slot, value))
+      return 0
+
+    jax.lax.fori_loop(0, num_simulations, sim_body, 0)
+
+    out_visits_ref[:] = cvis_ref[:AD, :]
+    out_value_ref[:] = nval_ref[:1, :]
+    # Decision-edge q = child (afterstate) value: r=0, gamma=1.
+    out_q_ref[:] = cval_ref[:AD, :]
+
+  return kernel
+
+
+def fused_smz_search(
+    root_embedding: jax.Array,      # [B, E]
+    root_prior_logits: jax.Array,   # [B, A] decision logits (noised/masked)
+    root_value: jax.Array,          # [B]
+    weights: FusedSMZWeights,
+    *,
+    num_simulations: int,
+    num_chance_outcomes: int,
+    support_size: int,
+    discount: float,
+    invalid_actions: Optional[jax.Array] = None,
+    max_depth: Optional[int] = None,
+    pb_c_init: float = 1.25,
+    pb_c_base: float = 19652.0,
+    batch_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+  """Run the fused stochastic search. Returns (decision visit_counts
+  [B, A] f32, root_value [B], decision q [B, A])."""
+  B, E = root_embedding.shape
+  AD = root_prior_logits.shape[-1]
+  C = num_chance_outcomes
+  AP = AD + C
+  S41 = 2 * support_size + 1
+  NP = _round_up(num_simulations + 1, 8)
+  if max_depth is None:
+    max_depth = num_simulations
+  if invalid_actions is None:
+    invalid_actions = jnp.zeros((B, AD), jnp.float32)
+  if interpret is None:
+    interpret = jax.default_backend() == "cpu"
+
+  bytes_per_env = 4 * (5 * NP + 5 * NP * AP + E * NP)
+  T = batch_tile or _pick_tile(B, bytes_per_env)
+  G = -(-B // T)
+  BP = G * T
+
+  # Extended root: chance slots masked out of the prior and invalid.
+  pad_c = jnp.full((B, C), _NEG, jnp.float32)
+  ext_logits = jnp.concatenate(
+      [root_prior_logits.astype(jnp.float32), pad_c], -1)
+  ext_invalid = jnp.concatenate(
+      [invalid_actions.astype(jnp.float32), jnp.ones((B, C), jnp.float32)],
+      -1)
+
+  inputs = [root_embedding.astype(jnp.float32).T, ext_logits.T,
+            root_value.astype(jnp.float32)[None, :], ext_invalid.T]
+  if BP != B:
+    inputs = [jnp.pad(x, ((0, 0), (0, BP - B))) for x in inputs]
+
+  wlist = []
+
+  def flat(pair):
+    w, b = pair
+    wlist.append(jnp.asarray(w, jnp.float32))
+    wlist.append(jnp.reshape(jnp.asarray(b, jnp.float32), (-1, 1)))
+
+  for pair in weights.dec_layers:
+    flat(pair)
+  flat(weights.dec_state)
+  flat(weights.dec_chance)
+  flat(weights.dec_value)
+  for pair in weights.ch_layers:
+    flat(pair)
+  flat(weights.ch_state)
+  flat(weights.ch_reward)
+  for pair in weights.pred_layers:
+    flat(pair)
+  flat(weights.pred_policy)
+  flat(weights.pred_value)
+
+  kernel = _make_smz_kernel(
+      T=T, NP=NP, AD=AD, C=C, E=E, S41=S41,
+      n_dec_hidden=len(weights.dec_layers),
+      n_ch_hidden=len(weights.ch_layers),
+      n_pred_hidden=len(weights.pred_layers),
+      num_simulations=num_simulations, max_depth=max_depth,
+      discount=discount, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
+      support_size=support_size)
+
+  def col_spec(rows):
+    return pl.BlockSpec((rows, T), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+  def const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+  in_specs = [col_spec(E), col_spec(AP), col_spec(1), col_spec(AP)]
+  in_specs += [const_spec(w.shape) for w in wlist]
+
+  visits, value, qvalues = pl.pallas_call(
+      kernel,
+      grid=(G,),
+      in_specs=in_specs,
+      out_specs=(col_spec(AD), col_spec(1), col_spec(AD)),
+      out_shape=(
+          jax.ShapeDtypeStruct((AD, BP), jnp.float32),
+          jax.ShapeDtypeStruct((1, BP), jnp.float32),
+          jax.ShapeDtypeStruct((AD, BP), jnp.float32),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      scratch_shapes=[
+          pltpu.VMEM((NP, T), jnp.float32),       # node visits
+          pltpu.VMEM((NP, T), jnp.float32),       # node values
+          pltpu.VMEM((NP, T), jnp.float32),       # node raw values
+          pltpu.VMEM((NP, T), jnp.float32),       # parents
+          pltpu.VMEM((NP, T), jnp.float32),       # creating action
+          pltpu.VMEM((NP * AP, T), jnp.float32),  # children index
+          pltpu.VMEM((NP * AP, T), jnp.float32),  # children priors
+          pltpu.VMEM((NP * AP, T), jnp.float32),  # children visits
+          pltpu.VMEM((NP * AP, T), jnp.float32),  # children rewards
+          pltpu.VMEM((NP * AP, T), jnp.float32),  # children values
+          pltpu.VMEM((E, NP, T), jnp.float32),    # embeddings
+      ],
+      interpret=interpret,
+  )(*inputs, *wlist)
+
+  return visits[:, :B].T, value[0, :B], qvalues[:, :B].T
+
+
+def fused_smz_policy(
+    params: Any,
+    rng: jax.Array,
+    root,                      # RootFnOutput (decision root)
+    weights: FusedSMZWeights,
+    *,
+    num_simulations: int,
+    num_chance_outcomes: int,
+    support_size: int,
+    discount: float,
+    invalid_actions: Optional[jax.Array] = None,
+    max_depth: Optional[int] = None,
+    dirichlet_fraction: float = 0.25,
+    dirichlet_alpha: float = 0.3,
+    pb_c_init: float = 1.25,
+    pb_c_base: float = 19652.0,
+    temperature=1.0,
+    batch_tile: Optional[int] = None,
+):
+  """Drop-in for ``policies.stochastic_muzero_policy`` on the fused path:
+  same root noising, same decision-slot visit-probs output."""
+  del params
+  from muax_tpu.search.policies import (_add_dirichlet_noise,
+                                        _apply_temperature,
+                                        _get_logits_from_probs,
+                                        _mask_invalid)
+  rng, noise_rng, _search_rng, sample_rng = jax.random.split(rng, 4)
+  probs = jax.nn.softmax(root.prior_logits, axis=-1)
+  probs = _add_dirichlet_noise(noise_rng, probs, fraction=dirichlet_fraction,
+                               alpha=dirichlet_alpha)
+  noised_logits = _get_logits_from_probs(probs)
+  noised_logits = _mask_invalid(noised_logits, invalid_actions)
+
+  visit_counts, root_value, _ = fused_smz_search(
+      root.embedding, noised_logits, root.value, weights,
+      num_simulations=num_simulations,
+      num_chance_outcomes=num_chance_outcomes, support_size=support_size,
+      discount=discount, invalid_actions=invalid_actions,
+      max_depth=max_depth, pb_c_init=pb_c_init, pb_c_base=pb_c_base,
+      batch_tile=batch_tile)
+
+  total = jnp.sum(visit_counts, axis=-1, keepdims=True)
+  action_weights = jnp.where(
+      total > 0, visit_counts / jnp.maximum(total, 1.0),
+      1.0 / visit_counts.shape[-1])
+  action_logits = _apply_temperature(
+      _get_logits_from_probs(action_weights), temperature)
+  action = jax.random.categorical(sample_rng, action_logits).astype(jnp.int32)
+  return action, action_weights, root_value

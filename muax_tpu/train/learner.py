@@ -31,6 +31,39 @@ class TrainState(NamedTuple):
   step: jax.Array
 
 
+def _make_finish(optimizer: optax.GradientTransformation,
+                 axis_name: str | None = None):
+  """The shared optax tail of one gradient step: check_numerics -> pmean ->
+  optimizer -> apply, preserving the actor temperature."""
+
+  def _finish(train_state, grads, metrics):
+    # No-op unless utils.set_check_numerics(True) was called before tracing
+    # (the reference's check_numerics guard, tf/mcts/search.py:744-747).
+    from muax_tpu.utils.debug import check_numerics
+    grads = check_numerics(grads, "grads")
+    if axis_name is not None:
+      grads = jax.lax.pmean(grads, axis_name)
+    updates, opt_state = optimizer.update(grads, train_state.opt_state,
+                                          train_state.params)
+    new_params = optax.apply_updates(train_state.params, updates)
+    # Temperature is actor state, not a learnable weight: restore it.
+    new_params = new_params._replace(
+        temperature=train_state.params.temperature)
+    new_state = TrainState(params=new_params, opt_state=opt_state,
+                           step=train_state.step + 1)
+    out_metrics = {
+        "loss": metrics.total,
+        "reward_loss": metrics.reward_loss,
+        "value_loss": metrics.value_loss,
+        "policy_loss": metrics.policy_loss,
+        "l2_loss": metrics.l2_loss,
+        "grad_norm": optax.global_norm(grads),
+    }
+    return new_state, metrics.priorities, out_metrics
+
+  return _finish
+
+
 def _make_grad_step(networks: MZNetworks,
                     optimizer: optax.GradientTransformation,
                     config: MuZeroConfig, axis_name: str | None = None):
@@ -39,6 +72,7 @@ def _make_grad_step(networks: MZNetworks,
   (reference _gradient_step, acme/jax/muzero/learning.py:136-174)."""
   tcfg = config.train
   is_stochastic = hasattr(networks, "chance")
+  _finish = _make_finish(optimizer, axis_name)
 
   def grad_step(train_state: TrainState, batch):
     # Fused Pallas learner for the flagship MLP family on TPU backends:
@@ -74,31 +108,6 @@ def _make_grad_step(networks: MZNetworks,
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(train_state.params)
     return _finish(train_state, grads, metrics)
-
-  def _finish(train_state, grads, metrics):
-    # No-op unless utils.set_check_numerics(True) was called before tracing
-    # (the reference's check_numerics guard, tf/mcts/search.py:744-747).
-    from muax_tpu.utils.debug import check_numerics
-    grads = check_numerics(grads, "grads")
-    if axis_name is not None:
-      grads = jax.lax.pmean(grads, axis_name)
-    updates, opt_state = optimizer.update(grads, train_state.opt_state,
-                                          train_state.params)
-    new_params = optax.apply_updates(train_state.params, updates)
-    # Temperature is actor state, not a learnable weight: restore it.
-    new_params = new_params._replace(
-        temperature=train_state.params.temperature)
-    new_state = TrainState(params=new_params, opt_state=opt_state,
-                           step=train_state.step + 1)
-    out_metrics = {
-        "loss": metrics.total,
-        "reward_loss": metrics.reward_loss,
-        "value_loss": metrics.value_loss,
-        "policy_loss": metrics.policy_loss,
-        "l2_loss": metrics.l2_loss,
-        "grad_norm": optax.global_norm(grads),
-    }
-    return new_state, metrics.priorities, out_metrics
 
   return grad_step
 
@@ -139,6 +148,11 @@ def make_update_fn(networks: MZNetworks, optimizer: optax.GradientTransformation
     return new_state, replay_state, out_metrics
 
   return update
+
+
+# Test seam: lets the CPU test suite exercise the fused sampler + raw
+# kernel path in Pallas interpret mode (see _fused_group_ok).
+_ALLOW_FUSED_SAMPLER_ON_CPU = False
 
 
 def _gcd(a: int, b: int) -> int:
@@ -201,8 +215,133 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
   metric_keys = ("loss", "reward_loss", "value_loss", "policy_loss",
                  "l2_loss", "grad_norm")
 
+  def _fused_group_ok(train_state, replay_state):
+    """Trace-time dispatch for the fused sampler + raw-kernel path."""
+    if not (tcfg.fused_learner and tcfg.fused_sampler):
+      return None
+    if hasattr(networks, "chance") or tcfg.observation_transform is not None:
+      return None
+    if jax.default_backend() == "cpu" and not _ALLOW_FUSED_SAMPLER_ON_CPU:
+      # Interpret-mode Pallas is far slower than XLA on CPU; the flag lets
+      # tests drive the fused path under the CPU conftest.
+      return None
+    from muax_tpu.models.fused_learner import extract_learner_weights
+    lw = extract_learner_weights(networks, train_state.params)
+    if lw is None:
+      return None
+    C = replay_state.capacity
+    L = replay_state.segment_length
+    O = 1
+    for d in replay_state.obs.shape[2:]:
+      O *= d
+    W = group * B
+    T = min(512, W)
+    if C > 8192 or O > 64 or L - tcfg.unroll_steps + 1 < 1 or W % T != 0:
+      return None
+    return lw
+
+  def _fused_multi_update(train_state, replay_state, rng, num_allowed, lw):
+    """The fused-sampler grouped learner: per group, ONE Pallas sampler
+    kernel gathers+extracts group*B windows from the VMEM-resident ring
+    (replay/fused_sampler.py), then the scan body is a single raw-input
+    gradient kernel + the optax tail — no per-update gather, one_hot,
+    support transform, or transpose. Semantics match the XLA grouped path
+    (online/offline interleave, SPI gating, group-cadence priority
+    refresh); only the sampling RNG stream differs (documented in
+    fused_sampler.py)."""
+    from muax_tpu.models.fused_learner import (extract_learner_weights,
+                                               fused_muzero_grad_raw)
+    from muax_tpu.replay.fused_sampler import (draw_segments,
+                                               fused_sample_group,
+                                               transpose_ring)
+    _finish = _make_finish(optimizer, axis_name)
+    W = group * B
+    K = tcfg.unroll_steps
+    # Chunk g = contiguous lanes [g*B, (g+1)*B); this permutation gives it
+    # the interleaved content assignment (mega-row i -> chunk i % group),
+    # so every gradient step sees its proportional online/offline mix —
+    # same semantics as _interleave_chunks, by construction.
+    p = jnp.arange(W)
+    perm = (p % B) * group + p // B
+    ring_t = transpose_ring(replay_state)
+
+    def group_body(carry, xs):
+      g, rng_g = xs
+      ts, rs = carry
+      seg_rng, gum_rng = jax.random.split(rng_g)
+      seg_idx = draw_segments(
+          rs, seg_rng, W, offline_fraction=config.replay.offline_fraction,
+          online_queue_size=config.replay.online_queue_size)[perm]
+      raw, lay = fused_sample_group(ring_t, rs.step_priorities, seg_idx,
+                                    gum_rng, K)
+      starts = raw[lay.start].astype(jnp.int32)
+      w_raw = raw[lay.weight]
+      denom = raw[lay.denom]
+      weight = w_raw / jnp.maximum(jnp.mean(w_raw), 1e-9)
+      coef = weight / denom / B
+      staleness = jnp.mean(
+          (ts.step - rs.target_step[seg_idx]).astype(jnp.float32))
+
+      def run_one(ts_c, j):
+        raw_j = jax.lax.dynamic_slice_in_dim(raw, j * B, B, axis=1)
+        coef_j = jax.lax.dynamic_slice_in_dim(coef, j * B, B, axis=0)
+        lw_c = extract_learner_weights(networks, ts_c.params)
+        grads, metrics = fused_muzero_grad_raw(
+            ts_c.params, raw_j, coef_j, lay, networks, lw_c,
+            l2_coef=tcfg.l2_coef, gradient_scale=tcfg.gradient_scale,
+            priority_alpha=config.replay.priority_alpha)
+        return _finish(ts_c, grads, metrics)
+
+      def upd_body(ts_c, j):
+        if num_allowed is None:
+          ts_c, prios, metrics = run_one(ts_c, j)
+          executed = jnp.float32(1.0)
+        else:
+          executed_b = g * group + j < num_allowed
+
+          def run(ts_in):
+            return run_one(ts_in, j)
+
+          def skip(ts_in):
+            zero = {k: jnp.float32(0.0) for k in metric_keys}
+            return ts_in, jnp.zeros((B,)), zero
+
+          executed = executed_b.astype(jnp.float32)
+          ts_c, prios, metrics = jax.lax.cond(executed_b, run, skip, ts_c)
+        return ts_c, ({**metrics, "updates_done": executed},
+                      prios, executed)
+
+      ts, (metrics, prios, executed) = jax.lax.scan(
+          upd_body, ts, jnp.arange(group))
+
+      # Group-cadence priority refresh (same as the XLA path). prios is
+      # [group, B] with chunk g contiguous — reshape(-1) IS mega-batch
+      # lane order here (no de-interleave: the permutation above already
+      # made chunks contiguous).
+      flat_prios = prios.reshape(-1) + 1e-6
+      current = rs.step_priorities[seg_idx, starts]
+      keep_mask = jnp.repeat(executed, B) > 0
+      rs = replay_update_priorities(
+          rs, seg_idx, starts, jnp.where(keep_mask, flat_prios, current))
+      metrics = {**metrics, "target_staleness":
+                 jnp.full((group,), staleness) * metrics["updates_done"]}
+      return (ts, rs), metrics
+
+    xs = (jnp.arange(num_groups), jax.random.split(rng, num_groups))
+    (train_state, replay_state), metrics = jax.lax.scan(
+        group_body, (train_state, replay_state), xs)
+    done = jnp.maximum(jnp.sum(metrics["updates_done"]), 1.0)
+    mean_metrics = {
+        k: (jnp.sum(v) / done if k != "updates_done" else jnp.sum(v))
+        for k, v in metrics.items()}
+    return train_state, replay_state, mean_metrics
+
   def multi_update(train_state: TrainState, replay_state: ReplayState,
                    rng: jax.Array, num_allowed=None):
+    lw = _fused_group_ok(train_state, replay_state)
+    if lw is not None:
+      return _fused_multi_update(train_state, replay_state, rng,
+                                 num_allowed, lw)
     def group_body(carry, xs):
       g, rng_g = xs
       ts, rs = carry
