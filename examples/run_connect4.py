@@ -28,6 +28,8 @@ flags.DEFINE_integer("channels", 32, "resnet width")
 flags.DEFINE_integer("num_blocks", 4, "resnet depth")
 flags.DEFINE_integer("eval_every", 20, "eval cadence (iterations)")
 flags.DEFINE_integer("seed", 0, "random seed")
+flags.DEFINE_string("out_json", "", "write the learning curve + config "
+                    "here (the PARITY2 artifact format)")
 
 
 def main(_):
@@ -66,6 +68,7 @@ def main(_):
 
   t0 = time.time()
   best = -1.0
+  curve = []
   for it in range(FLAGS.iterations):
     rng, sp_rng = jax.random.split(rng)
     temperature = 1.0 if it < FLAGS.iterations // 2 else 0.5
@@ -82,12 +85,39 @@ def main(_):
                                  num_games=256,
                                  num_simulations=FLAGS.num_simulations)
       best = max(best, score)
+      curve.append({"iteration": it + 1, "seconds": round(time.time() - t0, 1),
+                    "loss": round(float(m["loss"]), 4),
+                    "eval_vs_random": round(float(score), 4)})
       print(f"[{time.time()-t0:6.0f}s] it {it+1}: "
             f"loss={float(m['loss']):.3f} "
             f"eps={int(metrics['episodes_finished'])} "
             f"eval_vs_random={score:+.3f} (best {best:+.3f})", flush=True)
 
   print(f"final best eval_vs_random: {best:+.3f}")
+  if FLAGS.out_json:
+    import json
+    payload = {
+        "experiment": "connect4_alphazero_vs_random",
+        "threshold": 0.9,
+        "threshold_met": best >= 0.9,
+        "best_eval_vs_random": round(float(best), 4),
+        "curve": curve,
+        "config": {
+            "iterations": FLAGS.iterations,
+            "num_simulations": FLAGS.num_simulations,
+            "num_envs": FLAGS.num_envs,
+            "batch_size": FLAGS.batch_size,
+            "updates_per_iteration": FLAGS.updates_per_iteration,
+            "channels": FLAGS.channels,
+            "num_blocks": FLAGS.num_blocks,
+            "seed": FLAGS.seed,
+            "eval_games": 256,
+        },
+        "device": str(__import__("jax").devices()[0]),
+    }
+    with open(FLAGS.out_json, "w") as f:
+      json.dump(payload, f, indent=1)
+    print("wrote", FLAGS.out_json)
 
 
 if __name__ == "__main__":

@@ -40,8 +40,39 @@ def make_policy_fn(networks: MZNetworks, config: MuZeroConfig,
     from muax_tpu.train.inference import make_smz_fns
     smz_root_fn, decision_fn, chance_fn = make_smz_fns(networks, discount)
 
+    def _maybe_smz_fused(params):
+      # Fused decision/chance forest kernel (search/fused.py SMZ section):
+      # the whole A' = A + C tree in VMEM. Beyond throughput, it sidesteps
+      # the pure-XLA path's pinned TPU-runtime fault at 512 envs x 200
+      # sims (VERDICT r3 weak #2 / BENCH_MATRIX_r03 note): the faulting
+      # [B, N, A+C] HBM tree arrays never exist.
+      if not getattr(search, "fused", False) or jax.default_backend() == "cpu":
+        return None
+      if not hasattr(networks, "num_chance_outcomes"):
+        return None
+      from muax_tpu.search.fused import extract_smz_fused_weights
+      return extract_smz_fused_weights(networks, params)
+
     def policy_fn(params, rng, obs, temperature, invalid_actions=None):
       root = smz_root_fn(params, obs)
+      weights = _maybe_smz_fused(params)
+      if weights is not None:
+        from muax_tpu.search.fused import fused_smz_policy
+        action, action_weights, root_value = fused_smz_policy(
+            params, rng, root, weights,
+            num_simulations=search.num_simulations,
+            num_chance_outcomes=networks.num_chance_outcomes,
+            support_size=networks.support_size,
+            discount=discount,
+            invalid_actions=invalid_actions,
+            max_depth=search.max_depth,
+            dirichlet_fraction=dirichlet_fraction,
+            dirichlet_alpha=search.dirichlet_alpha,
+            pb_c_init=search.pb_c_init,
+            pb_c_base=search.pb_c_base,
+            temperature=temperature,
+            batch_tile=search.batch_tile)
+        return action, action_weights, root_value
       out = stochastic_muzero_policy(
           params, rng, root,
           decision_recurrent_fn=decision_fn,

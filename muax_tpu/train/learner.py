@@ -272,15 +272,16 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
       seg_idx = draw_segments(
           rs, seg_rng, W, offline_fraction=config.replay.offline_fraction,
           online_queue_size=config.replay.online_queue_size)[perm]
-      raw, lay = fused_sample_group(ring_t, rs.step_priorities, seg_idx,
-                                    gum_rng, K)
+      raw, lay = fused_sample_group(ring_t, rs.step_priorities,
+                                    rs.target_step, seg_idx, gum_rng, K)
       starts = raw[lay.start].astype(jnp.int32)
       w_raw = raw[lay.weight]
       denom = raw[lay.denom]
       weight = w_raw / jnp.maximum(jnp.mean(w_raw), 1e-9)
       coef = weight / denom / B
-      staleness = jnp.mean(
-          (ts.step - rs.target_step[seg_idx]).astype(jnp.float32))
+      # Staleness from the kernel-gathered target_step row (a [W] XLA
+      # gather here measured 2.2 ms/group; the kernel row is free).
+      staleness = ts.step.astype(jnp.float32) - jnp.mean(raw[lay.tstep])
 
       def run_one(ts_c, j):
         raw_j = jax.lax.dynamic_slice_in_dim(raw, j * B, B, axis=1)

@@ -51,65 +51,52 @@ def main():
                                                (C, L)) + 0.1)
   results = {}
 
-  # sampler kernel alone (ring transposed outside the timed region)
+  # All pieces run N times inside one jit (scan) with one readback: the
+  # axon tunnel adds ~30 ms per DISPATCH, so single-call timings are floor
+  # noise (memory: tpu-tunnel-fragility).
+  N = 20
   ring_t = jax.jit(transpose_ring)(rs)
   seg_fixed = jax.random.randint(jax.random.PRNGKey(1), (W,), 0, C)
-
-  @jax.jit
-  def sample_only(prios, seg, r):
-    raw, lay = fused_sample_group(ring_t, prios, seg, r, K)
-    return jnp.sum(raw[lay.weight])
-
-  print("[p] compiling sample_only", file=sys.stderr, flush=True)
-  sync(sample_only(rs.step_priorities, seg_fixed, jax.random.PRNGKey(2)))
-  results["sampler_kernel_ms_per_group"] = round(best_of(
-      lambda: sync(sample_only(rs.step_priorities, seg_fixed,
-                               jax.random.PRNGKey(2)))) * 1e3, 2)
-  print(results, flush=True)
-
-  @jax.jit
-  def draw_only(rs_, r):
-    seg = draw_segments(rs_, r, W, offline_fraction=0.5,
-                        online_queue_size=1024)
-    return jnp.sum(seg)
-
-  print("[p] compiling draw_only", file=sys.stderr, flush=True)
-  sync(draw_only(rs, jax.random.PRNGKey(3)))
-  results["draw_segments_ms_per_group"] = round(best_of(
-      lambda: sync(draw_only(rs, jax.random.PRNGKey(3)))) * 1e3, 2)
-  print(results, flush=True)
-
-  @jax.jit
-  def stale_only(rs_, seg):
-    return jnp.mean((5 - rs_.target_step[seg]).astype(jnp.float32))
-
-  sync(stale_only(rs, seg_fixed))
-  results["staleness_gather_ms_per_group"] = round(best_of(
-      lambda: sync(stale_only(rs, seg_fixed))) * 1e3, 2)
-  print(results, flush=True)
-
   starts_fixed = jax.random.randint(jax.random.PRNGKey(4), (W,), 0,
                                     L - K + 1)
 
-  @jax.jit
-  def scatter_only(rs_, seg, st):
-    rs2 = replay_update_priorities(rs_, seg, st, jnp.ones((W,)))
-    return jnp.sum(rs2.step_priorities[0])
+  def loop(body):
+    @jax.jit
+    def run(*args):
+      def step(c, r):
+        return c + body(r, *args), ()
+      c, _ = jax.lax.scan(step, jnp.float32(0),
+                          jax.random.split(jax.random.PRNGKey(5), N))
+      return c
+    return run
 
-  sync(scatter_only(rs, seg_fixed, starts_fixed))
-  results["priority_scatter_ms_per_group"] = round(best_of(
-      lambda: sync(scatter_only(rs, seg_fixed, starts_fixed))) * 1e3, 2)
-  print(results, flush=True)
+  def measure(name, body, *args):
+    run = loop(body)
+    print(f"[p] compiling {name}", file=sys.stderr, flush=True)
+    sync(run(*args))
+    results[name] = round(best_of(lambda: sync(run(*args))) * 1e3 / N, 3)
+    print(name, results[name], flush=True)
 
-  # transpose_ring itself (paid once per multi_update call)
-  @jax.jit
-  def transpose_only(rs_):
-    rt = transpose_ring(rs_)
-    return jnp.sum(rt.obs[0])
-
-  sync(transpose_only(rs))
-  results["transpose_ring_ms_per_iter"] = round(best_of(
-      lambda: sync(transpose_only(rs))) * 1e3, 2)
+  measure("sampler_kernel_ms_per_group",
+          lambda r, prios: jnp.sum(
+              fused_sample_group(ring_t, prios, seg_fixed, r, K)[0][-3]),
+          rs.step_priorities)
+  measure("draw_segments_ms_per_group",
+          lambda r, rs_: jnp.sum(draw_segments(
+              rs_, r, W, offline_fraction=0.5,
+              online_queue_size=1024)).astype(jnp.float32), rs)
+  measure("staleness_gather_ms_per_group",
+          lambda r, rs_: jnp.mean(
+              (5 - rs_.target_step[seg_fixed]).astype(jnp.float32)
+              ) + jax.random.uniform(r), rs)
+  measure("priority_scatter_ms_per_group",
+          lambda r, rs_: jnp.sum(replay_update_priorities(
+              rs_, seg_fixed, starts_fixed,
+              jax.random.uniform(r, (W,)) + 0.5).step_priorities[0]), rs)
+  measure("transpose_ring_ms_per_iter",
+          lambda r, rs_: jnp.sum(transpose_ring(
+              rs_.replace(cursor=(rs_.cursor + jax.random.randint(
+                  r, (), 0, 2)))).obs[0]), rs)
   print(json.dumps(results, indent=1), flush=True)
   with open("/root/repo/scripts/profile_fused_sampler_out.json", "w") as f:
     json.dump(results, f, indent=1)

@@ -42,7 +42,8 @@ class TestFusedSampleGroup:
     seg_idx = jax.random.randint(jax.random.PRNGKey(1), (W,), 0, 12)
     gum_rng = jax.random.PRNGKey(2)
     raw, lay = fused_sample_group(transpose_ring(rs), rs.step_priorities,
-                                  seg_idx, gum_rng, K, interpret=True)
+                                  rs.target_step, seg_idx, gum_rng, K,
+                                  interpret=True)
     raw = np.asarray(raw)
 
     # Replicate the in-kernel start draw exactly.
@@ -104,8 +105,8 @@ class TestRawGradParity:
     W = 256
     seg_idx = jax.random.randint(jax.random.PRNGKey(2), (W,), 0, 24)
     raw, lay = fused_sample_group(transpose_ring(rs), rs.step_priorities,
-                                  seg_idx, jax.random.PRNGKey(3), K,
-                                  interpret=True)
+                                  rs.target_step, seg_idx,
+                                  jax.random.PRNGKey(3), K, interpret=True)
     return networks, params, rs, raw, lay, seg_idx
 
   def test_raw_kernel_matches_jax_grad(self):
