@@ -6,29 +6,28 @@ acme/jax/muzero/config.py:63-66) training is learner-bound. This kernel
 runs the whole forward (representation -> L x {prediction, dynamics}) and
 the hand-derived backward in VMEM as a single op: activations never touch
 HBM, weight gradients accumulate across batch tiles in VMEM, and the L2
-term folds into the gradient initialization — ~300 unrolled-loss HLOs
-collapse into one.
+term folds into the gradient initialization. Together with the fused
+replay sampler (replay/fused_sampler.py) this removes every per-update
+XLA op except the optimizer — the r4 profile showed the glue, not the
+gradient, dominated the learner (scripts/profile_learner.py).
 
-Measured honestly (TPU v5e, batch 4096, L=5): 0.69 ms/grad vs 0.67 ms for
-XLA's jax.grad — the two are at parity on this stack (XLA already fuses
-the tiny-dense chain well; the grouped learner's remaining cost is the
-replay gather + optimizer, not the gradient). The kernel is kept as the
-default TPU path because it pins the op count (robust to XLA fusion
-regressions at other batch/unroll shapes) and its gradients are
-bit-compared against jax.grad in CI; `TrainConfig.fused_learner=False`
-restores the jax.grad path (identical numerics, ~2x faster compile).
+Families covered (grad-parity test-pinned against jax.grad in
+tests/test_fused_learner.py + tests/test_fused_sampler.py):
+  * the flagship MLP triplet (models/networks.make_mlp_networks — elu
+    towers, integer-support two-hot heads with the h-transform,
+    min-max normalized embeddings), and
+  * the acme categorical family (models/acme_networks.
+    make_categorical_mlp_networks — LayerNormMLP towers: first layer
+    Linear -> LayerNorm -> tanh, rest elu; linear [vmin, vmax] two-hot
+    heads — reference acme/jax/muzero/networks.py:55-136). Round 4,
+    VERDICT r3 item #8.
+The fc-resnet (601-bin pre-LN residual) family falls back to jax.grad
+(residual-block backward is not hand-derived); dispatch in train/learner.py.
 
-Scope: the flagship MLP family (models/networks.make_mlp_networks — elu
-towers, integer-support two-hot heads, min-max normalized embeddings) with
-the exact semantics of models/losses.muzero_loss (CE x3, scale_gradient
-0.5 into dynamics, stop-gradient targets, /denom masking, weight-scaled
-batch mean, L2 = l2_coef * 0.5 * sum p^2). Other families fall back to
-jax.grad over muzero_loss; the dispatch lives in train/learner.py.
-
-Gradient-parity is test-pinned against jax.grad (tests/test_fused_learner.py):
-identical to ~1e-4 relative on random batches, including the min-max
-normalization subgradient (tie-splitting argmin/argmax) and the elu
-backward recovered from post-activations.
+Exact semantics of models/losses.muzero_loss: CE x3, scale_gradient 0.5
+into dynamics, stop-gradient targets, /denom masking, weight-scaled batch
+mean, L2 = l2_coef * 0.5 * sum p^2 over ALL tower params (LayerNorm
+scale/offset included).
 """
 from __future__ import annotations
 
@@ -39,14 +38,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from muax_tpu.ops import scalar_to_support
+from muax_tpu.ops import scalar_to_support, scalar_to_two_hot
 
 _H_EPS = 1e-3     # value-transform epsilon (ops/support.py)
 _MM_EPS = 1e-8    # min_max_normalize epsilon (ops/normalize.py)
+_LN_EPS = 1e-5    # hk.LayerNorm default epsilon
 
 
 class LearnerWeights(NamedTuple):
-  """Named (module_name, W, b) triples per network, creation order."""
+  """Named (module_name, W, b) triples per network, creation order (the
+  original all-elu MLP extraction; converted to a LearnerSpec internally)."""
   repr_layers: tuple   # ((name, W, b), ...) hidden elu layers
   repr_out: tuple      # (name, W, b) final Linear(embedding) before minmax
   pred_layers: tuple
@@ -55,6 +56,31 @@ class LearnerWeights(NamedTuple):
   dyn_layers: tuple    # first W has in_dim = E + A
   dyn_reward: tuple
   dyn_state: tuple
+
+
+class LearnerSpec(NamedTuple):
+  """Kind-tagged tower program for the fused learner kernel.
+
+  Hidden layers: ("elu", entries) with entries ((module, "w", W),
+  (module, "b", b)) or ("ln_tanh", entries) adding the LayerNorm
+  (ln_module, "scale"/"offset") tensors. Heads are 2-entry linears.
+  ``decode`` selects the value/reward convention: "h_support" (integer
+  h-transform two-hot, ops/support.py) or "linear" (vmin..vmax two-hot,
+  the acme CategoricalCriticHead / rlax convention).
+  """
+  repr_layers: tuple
+  repr_out: tuple      # entries (w, b)
+  pred_layers: tuple
+  pred_value: tuple
+  pred_policy: tuple
+  dyn_layers: tuple
+  dyn_reward: tuple
+  dyn_state: tuple
+  decode: str
+  num_bins: int        # total support width (2S+1 for h_support)
+  support_size: int    # h_support only
+  vmin: float
+  vmax: float
 
 
 def _named_linears(module_params):
@@ -84,7 +110,7 @@ def _named_linears(module_params):
 
 def extract_learner_weights(networks, params) -> Optional[LearnerWeights]:
   """None unless ``params`` is the plain dense triplet with integer-support
-  heads (then the caller falls back to jax.grad)."""
+  heads (then the caller falls back to jax.grad or the categorical spec)."""
   if not hasattr(networks, "support_size"):
     return None
   num_actions = networks.num_actions
@@ -112,25 +138,140 @@ def extract_learner_weights(networks, params) -> Optional[LearnerWeights]:
       dyn_layers=tuple(d_hidden), dyn_reward=d_reward, dyn_state=d_state)
 
 
-def _weight_order(lw: LearnerWeights):
-  """Flat (net, module_name, W, b) list in kernel ref order."""
-  out = []
-  for name, w, b in lw.repr_layers:
-    out.append(("representation", name, w, b))
-  out.append(("representation", lw.repr_out[0], lw.repr_out[1],
-              lw.repr_out[2]))
-  for name, w, b in lw.pred_layers:
-    out.append(("prediction", name, w, b))
-  out.append(("prediction", lw.pred_value[0], lw.pred_value[1],
-              lw.pred_value[2]))
-  out.append(("prediction", lw.pred_policy[0], lw.pred_policy[1],
-              lw.pred_policy[2]))
-  for name, w, b in lw.dyn_layers:
-    out.append(("dynamic", name, w, b))
-  out.append(("dynamic", lw.dyn_reward[0], lw.dyn_reward[1],
-              lw.dyn_reward[2]))
-  out.append(("dynamic", lw.dyn_state[0], lw.dyn_state[1], lw.dyn_state[2]))
-  return out
+def _lin_entries(name, w, b):
+  return ((name, "w", w), (name, "b", b))
+
+
+def _spec_from_lw(lw: LearnerWeights, support_size: int) -> LearnerSpec:
+  def hidden(layers):
+    return tuple(("elu", _lin_entries(*t)) for t in layers)
+
+  def head(t):
+    return _lin_entries(*t)
+
+  return LearnerSpec(
+      repr_layers=hidden(lw.repr_layers), repr_out=head(lw.repr_out),
+      pred_layers=hidden(lw.pred_layers), pred_value=head(lw.pred_value),
+      pred_policy=head(lw.pred_policy),
+      dyn_layers=hidden(lw.dyn_layers), dyn_reward=head(lw.dyn_reward),
+      dyn_state=head(lw.dyn_state),
+      decode="h_support", num_bins=2 * support_size + 1,
+      support_size=support_size, vmin=0.0, vmax=0.0)
+
+
+def _sorted_modules(module_params, prefix):
+  """(name, params) for `prefix`/`prefix_N` modules in creation order."""
+  out = {}
+  for key, val in dict(module_params).items():
+    if key == prefix:
+      idx = 0
+    elif key.startswith(prefix + "_"):
+      try:
+        idx = int(key[len(prefix) + 1:])
+      except ValueError:
+        return None
+    else:
+      continue
+    out[idx] = (key, val)
+  return [out[i] for i in range(len(out))] if len(out) == (
+      max(out) + 1 if out else 0) else None
+
+
+def extract_categorical_learner_spec(networks, params
+                                     ) -> Optional[LearnerSpec]:
+  """LearnerSpec for the acme categorical family (LayerNormMLP towers +
+  linear two-hot heads, make_categorical_mlp_networks). None when the
+  structure doesn't match — e.g. the fc-resnet family's residual blocks —
+  and the caller falls back to jax.grad."""
+  num_actions = getattr(networks, "num_actions", None)
+  num_bins = getattr(networks, "num_bins", None)
+  if num_actions is None or num_bins is None or num_bins == num_actions:
+    return None
+
+  def parse_tower(module_params, head_widths):
+    """-> (hidden_layers, heads dict width->entries) or None."""
+    linears = _sorted_modules(module_params, "linear")
+    lns = _sorted_modules(module_params, "layer_norm")
+    if linears is None or lns is None or len(lns) > 1:
+      return None
+    n_heads = len(head_widths)
+    if len(linears) < n_heads + (1 if lns else 0):
+      return None
+    for name, m in linears:
+      if "w" not in m or "b" not in m or m["w"].ndim != 2:
+        return None
+    hidden = linears[:len(linears) - n_heads]
+    head_mods = linears[len(linears) - n_heads:]
+    if lns and not hidden:
+      return None
+    layers = []
+    for i, (name, m) in enumerate(hidden):
+      if i == 0 and lns:
+        ln_name, ln = lns[0]
+        if "scale" not in ln or "offset" not in ln:
+          return None
+        layers.append(("ln_tanh", _lin_entries(name, m["w"], m["b"]) + (
+            (ln_name, "scale", ln["scale"]),
+            (ln_name, "offset", ln["offset"]))))
+      else:
+        layers.append(("elu", _lin_entries(name, m["w"], m["b"])))
+    heads = []
+    for (name, m), width in zip(head_mods, head_widths):
+      if width is not None and m["w"].shape[1] != width:
+        return None
+      heads.append(_lin_entries(name, m["w"], m["b"]))
+    return tuple(layers), heads
+
+  rep = parse_tower(params.representation, (None,))
+  pred = parse_tower(params.prediction, (num_actions, num_bins))
+  dyn = parse_tower(params.dynamic, (num_bins, None))
+  if rep is None or pred is None or dyn is None:
+    return None
+  repr_layers, (repr_out,) = rep
+  pred_layers, (pred_policy, pred_value) = pred
+  dyn_layers, (dyn_reward, dyn_state) = dyn
+  E = repr_out[0][2].shape[1]
+  ok = (dyn_state[0][2].shape[1] == E
+        and dyn_layers and dyn_layers[0][1][0][2].shape[0] == E + num_actions
+        and pred_layers and pred_layers[0][1][0][2].shape[0] == E)
+  if not ok:
+    return None
+  return LearnerSpec(
+      repr_layers=repr_layers, repr_out=repr_out,
+      pred_layers=pred_layers, pred_value=pred_value,
+      pred_policy=pred_policy,
+      dyn_layers=dyn_layers, dyn_reward=dyn_reward, dyn_state=dyn_state,
+      decode="linear", num_bins=int(num_bins), support_size=0,
+      vmin=float(networks.vmin), vmax=float(networks.vmax))
+
+
+def _flatten_spec(spec: LearnerSpec):
+  """-> (entries list of (module, pname, tensor, net), kinds per tower,
+  slot base per layer). Tensor order is the kernel weight-ref order."""
+  entries = []
+  slots = {}
+
+  def add(net, key, layers_or_entries, is_head):
+    if is_head:
+      slots[key] = [len(entries)]
+      for module, pname, t in layers_or_entries:
+        entries.append((net, module, pname, t))
+    else:
+      slots[key] = []
+      for _, ents in layers_or_entries:
+        slots[key].append(len(entries))
+        for module, pname, t in ents:
+          entries.append((net, module, pname, t))
+
+  add("representation", "repr_layers", spec.repr_layers, False)
+  add("representation", "repr_out", spec.repr_out, True)
+  add("prediction", "pred_layers", spec.pred_layers, False)
+  add("prediction", "pred_value", spec.pred_value, True)
+  add("prediction", "pred_policy", spec.pred_policy, True)
+  add("dynamic", "dyn_layers", spec.dyn_layers, False)
+  add("dynamic", "dyn_reward", spec.dyn_reward, True)
+  add("dynamic", "dyn_state", spec.dyn_state, True)
+  return entries, slots
 
 
 def _elu(x):
@@ -138,26 +279,28 @@ def _elu(x):
 
 
 def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
-                 n_repr_hidden: int, n_pred_hidden: int, n_dyn_hidden: int,
+                 repr_kinds: tuple, pred_kinds: tuple, dyn_kinds: tuple,
+                 slots: dict, n_w: int,
                  gradient_scale: float, l2_coef: float, support_size: int,
-                 raw_layout=None):
+                 decode: str = "h_support", vmin: float = 0.0,
+                 vmax: float = 0.0, raw_layout=None):
   """Kernel body. Transposed layout: features on sublanes, batch on the
   128-lane axis. All activations live as SSA values in VMEM for the whole
   forward+backward — nothing spills to HBM.
 
+  Layer kinds per tower: "elu" (Linear -> elu, 2 tensors) or "ln_tanh"
+  (Linear -> LayerNorm -> tanh, 4 tensors — the acme LayerNormMLP first
+  layer). ``decode``: "h_support" or "linear" (see LearnerSpec).
+
   Two input conventions share one body:
-    * pre-built refs (obs, a_onehot, pi, value/reward two-hots, mask, coef)
-      — the original per-batch entry (``fused_muzero_grad``), or
+    * pre-built refs (obs, a_onehot, pi, value/reward two-hots, mask,
+      coef) — the per-batch entry (``fused_muzero_grad``), or
     * ``raw_layout`` set: ONE raw ref in the fused sampler's row layout
       (replay/fused_sampler.RawLayout) plus coef; action one-hots and the
-      h-transform two-hot targets are built IN KERNEL from the raw scalar
-      rows — this removes every per-update XLA prep op (one_hot,
-      scalar_to_support, transposes), the dominant learner cost in the r4
-      profile (scripts/profile_learner.py: ~1.1 ms/update of glue vs
-      0.2 ms of gradient).
+      two-hot targets are built IN KERNEL from the raw scalar rows — this
+      removes every per-update XLA prep op, the dominant learner cost in
+      the r4 profile (scripts/profile_learner.py).
   """
-
-  n_w = 2 * (n_repr_hidden + 1 + n_pred_hidden + 2 + n_dyn_hidden + 2)
 
   def matTx(w, x):
     """[in, out] x [in, T] -> [out, T]."""
@@ -222,18 +365,32 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
 
       a_bins = (jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
                 .astype(jnp.float32))
-      s_bins = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
-                .astype(jnp.float32) - float(support_size))
+      s_idx = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
+               .astype(jnp.float32))
 
-      def two_hot(x):
-        """scalar_to_support (ops/support.py:37-56) on a [1, T] row."""
-        y = jnp.sign(x) * (jnp.sqrt(jnp.abs(x) + 1.0) - 1.0) + _H_EPS * x
-        y = jnp.clip(y, -float(support_size), float(support_size))
-        low = jnp.floor(y)
-        ph = y - low
-        high = jnp.minimum(low + 1.0, float(support_size))
-        return ((s_bins == low).astype(jnp.float32) * (1.0 - ph)
-                + (s_bins == high).astype(jnp.float32) * ph)
+      if decode == "linear":
+        step = (vmax - vmin) / (S41 - 1)
+
+        def two_hot(x):
+          """scalar_to_two_hot (ops/support.py:71-86) on a [1, T] row."""
+          pos = (jnp.clip(x, vmin, vmax) - vmin) / step
+          low = jnp.floor(pos)
+          ph = pos - low
+          high = jnp.minimum(low + 1.0, float(S41 - 1))
+          return ((s_idx == low).astype(jnp.float32) * (1.0 - ph)
+                  + (s_idx == high).astype(jnp.float32) * ph)
+      else:
+        s_bins = s_idx - float(support_size)
+
+        def two_hot(x):
+          """scalar_to_support (ops/support.py:37-56) on a [1, T] row."""
+          y = jnp.sign(x) * (jnp.sqrt(jnp.abs(x) + 1.0) - 1.0) + _H_EPS * x
+          y = jnp.clip(y, -float(support_size), float(support_size))
+          low = jnp.floor(y)
+          ph = y - low
+          high = jnp.minimum(low + 1.0, float(support_size))
+          return ((s_bins == low).astype(jnp.float32) * (1.0 - ph)
+                  + (s_bins == high).astype(jnp.float32) * ph)
 
       aoh_rows, vt_rows, rt_rows = [], [], []
       for i in range(L):
@@ -252,35 +409,95 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
     met_ref = refs[n_in + 2 * n_w]
     l2_ref = refs[n_in + 2 * n_w + 1]
 
-    cursor = [0]
+    def layer_params(kind, base):
+      n = 2 if kind == "elu" else 4
+      return tuple(wrefs[base + k][:] for k in range(n))
 
-    def take():
-      w = wrefs[cursor[0]][:]
-      b = wrefs[cursor[0] + 1][:]
-      cursor[0] += 2
-      return w, b
-
-    repr_hidden = [take() for _ in range(n_repr_hidden)]
-    repr_out = take()
-    pred_hidden = [take() for _ in range(n_pred_hidden)]
-    pred_value = take()
-    pred_policy = take()
-    dyn_hidden = [take() for _ in range(n_dyn_hidden)]
-    dyn_reward = take()
-    dyn_state = take()
+    repr_hidden = [(k, layer_params(k, b))
+                   for k, b in zip(repr_kinds, slots["repr_layers"])]
+    pred_hidden = [(k, layer_params(k, b))
+                   for k, b in zip(pred_kinds, slots["pred_layers"])]
+    dyn_hidden = [(k, layer_params(k, b))
+                  for k, b in zip(dyn_kinds, slots["dyn_layers"])]
+    repr_out = layer_params("elu", slots["repr_out"][0])
+    pred_value = layer_params("elu", slots["pred_value"][0])
+    pred_policy = layer_params("elu", slots["pred_policy"][0])
+    dyn_reward = layer_params("elu", slots["dyn_reward"][0])
+    dyn_state = layer_params("elu", slots["dyn_state"][0])
 
     coef = coef_ref[:]                      # [1, T] weight/(denom*B)
 
+    dW = {}  # ref index -> accumulated grad
+
+    def acc(idx, val):
+      dW[idx] = dW[idx] + val if idx in dW else val
+
+    def back_elu_from_act(a):
+      """elu'(z) recovered from the post-activation a = elu(z)."""
+      return jnp.where(a > 0, 1.0, a + 1.0)
+
+    def tower_fwd(x, layers, first_split=None):
+      """-> (output, stash). ``first_split`` = (emb [E,T], a_oh [A,T])
+      splits the first layer's input matmul (dynamics consumes
+      concat(s, one_hot(a)))."""
+      stash = []
+      for i, (kind, prs) in enumerate(layers):
+        w, b = prs[0], prs[1]
+        if i == 0 and first_split is not None:
+          emb_x, a_x = first_split
+          z = matTx(w[:E], emb_x) + matTx(w[E:], a_x) + b
+          xin = None
+        else:
+          z = matTx(w, x) + b
+          xin = x
+        if kind == "elu":
+          y = _elu(z)
+          stash.append((xin, y, None, None))
+        else:  # ln_tanh: Linear -> LayerNorm -> tanh (acme LayerNormMLP)
+          scale = prs[2]
+          mu = jnp.mean(z, axis=0, keepdims=True)
+          var = jnp.mean(jnp.square(z - mu), axis=0, keepdims=True)
+          inv = jax.lax.rsqrt(var + _LN_EPS)
+          xhat = (z - mu) * inv
+          y = jnp.tanh(xhat * scale + prs[3])
+          stash.append((xin, y, xhat, inv))
+        x = y
+      return x, stash
+
+    def tower_bwd(dy, layers, bases, stash, first_inputs=None):
+      """Accumulate per-layer grads; returns the grad into the tower input
+      (for ``first_inputs`` = (emb, a_oh): the embedding part only)."""
+      for j in reversed(range(len(layers))):
+        kind, prs = layers[j]
+        xin, y, xhat, inv = stash[j]
+        w = prs[0]
+        base = bases[j]
+        if kind == "elu":
+          dz = dy * back_elu_from_act(y)
+        else:
+          scale = prs[2]
+          du = dy * (1.0 - y * y)
+          acc(base + 2, jnp.sum(du * xhat, axis=1, keepdims=True))
+          acc(base + 3, jnp.sum(du, axis=1, keepdims=True))
+          dxhat = du * scale
+          m1 = jnp.mean(dxhat, axis=0, keepdims=True)
+          m2 = jnp.mean(dxhat * xhat, axis=0, keepdims=True)
+          dz = inv * (dxhat - m1 - xhat * m2)
+        acc(base + 1, jnp.sum(dz, axis=1, keepdims=True))
+        if j == 0 and first_inputs is not None:
+          emb_x, a_x = first_inputs
+          acc(base, jnp.concatenate([dw_of(emb_x, dz), dw_of(a_x, dz)],
+                                    axis=0))
+          return w_dx(w, dz)[:E]
+        acc(base, dw_of(xin, dz))
+        dy = w_dx(w, dz)
+      return dy
+
     # ------------------------------ forward ------------------------------
-    x = obs_v
-    repr_acts = [x]
-    for w, b in repr_hidden:
-      x = _elu(matTx(w, x) + b)
-      repr_acts.append(x)
+    x, repr_stash = tower_fwd(obs_v, repr_hidden)
     s_pre0 = matTx(repr_out[0], x) + repr_out[1]
     s = minmax_fwd(s_pre0)
 
-    # Per-step stashes for backward.
     steps = []
     v_sum = jnp.zeros((1, T), jnp.float32)
     p_sum = jnp.zeros((1, T), jnp.float32)
@@ -290,11 +507,7 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
     for i in range(L):
       mask = mask_v[i:i + 1, :]
       # prediction
-      h = s
-      pred_acts = [h]
-      for w, b in pred_hidden:
-        h = _elu(matTx(w, h) + b)
-        pred_acts.append(h)
+      h, pred_stash = tower_fwd(s, pred_hidden)
       v_logits = matTx(pred_value[0], h) + pred_value[1]
       p_logits = matTx(pred_policy[0], h) + pred_policy[1]
       v_ls = log_softmax(v_logits)
@@ -305,25 +518,22 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
       p_sum += mask * (-jnp.sum(pit * p_ls, axis=0, keepdims=True))
       if i == 0:
         probs0 = jnp.exp(v_ls)
-        bins = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
-                .astype(jnp.float32) - float(support_size))
-        ev = jnp.sum(probs0 * bins, axis=0, keepdims=True)
-        eps = _H_EPS
-        v0 = jnp.sign(ev) * (jnp.square(
-            (jnp.sqrt(4.0 * eps * (jnp.abs(ev) + 1.0 + eps) + 1.0) - 1.0)
-            / (2.0 * eps)) - 1.0)
+        idx0 = (jax.lax.broadcasted_iota(jnp.int32, (S41, T), 0)
+                .astype(jnp.float32))
+        if decode == "linear":
+          bins = vmin + idx0 * ((vmax - vmin) / (S41 - 1))
+          v0 = jnp.sum(probs0 * bins, axis=0, keepdims=True)
+        else:
+          bins = idx0 - float(support_size)
+          ev = jnp.sum(probs0 * bins, axis=0, keepdims=True)
+          eps = _H_EPS
+          v0 = jnp.sign(ev) * (jnp.square(
+              (jnp.sqrt(4.0 * eps * (jnp.abs(ev) + 1.0 + eps) + 1.0) - 1.0)
+              / (2.0 * eps)) - 1.0)
 
       # dynamics (scale_gradient on s applies in backward only)
       a_oh = aoh_v[i * A:(i + 1) * A, :]
-      g = None
-      dyn_acts = []
-      for j, (w, b) in enumerate(dyn_hidden):
-        if j == 0:
-          z = matTx(w[:E], s) + matTx(w[E:], a_oh) + b
-        else:
-          z = matTx(w, g) + b
-        g = _elu(z)
-        dyn_acts.append(g)
+      g, dyn_stash = tower_fwd(None, dyn_hidden, first_split=(s, a_oh))
       r_logits = matTx(dyn_reward[0], g) + dyn_reward[1]
       r_ls = log_softmax(r_logits)
       rt = rt_v[i * S41:(i + 1) * S41, :]
@@ -331,34 +541,18 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
       s_pre = matTx(dyn_state[0], g) + dyn_state[1]
       s_next = minmax_fwd(s_pre)
 
-      steps.append(dict(mask=mask, s=s, pred_acts=pred_acts,
+      steps.append(dict(mask=mask, s=s, pred_stash=pred_stash, h=h,
                         v_ls=v_ls, p_ls=p_ls, vt=vt, pit=pit,
-                        a_oh=a_oh, dyn_acts=dyn_acts, r_ls=r_ls, rt=rt,
-                        s_pre=s_pre))
+                        a_oh=a_oh, dyn_stash=dyn_stash, g=g, r_ls=r_ls,
+                        rt=rt, s_pre=s_pre))
       s = s_next
 
     # ------------------------------ backward -----------------------------
-    dW = {}  # ref index -> accumulated grad
-
-    def acc(idx, val):
-      dW[idx] = dW[idx] + val if idx in dW else val
-
-    def layer_slot(base, j):
-      return base + 2 * j
-
-    # ref-index bases mirror the take() order above.
-    b_repr = 0
-    b_repr_out = 2 * n_repr_hidden
-    b_pred = b_repr_out + 2
-    b_pred_value = b_pred + 2 * n_pred_hidden
-    b_pred_policy = b_pred_value + 2
-    b_dyn = b_pred_policy + 2
-    b_dyn_reward = b_dyn + 2 * n_dyn_hidden
-    b_dyn_state = b_dyn_reward + 2
-
-    def back_elu_from_act(a):
-      """elu'(z) recovered from the post-activation a = elu(z)."""
-      return jnp.where(a > 0, 1.0, a + 1.0)
+    b_repr_out = slots["repr_out"][0]
+    b_pred_value = slots["pred_value"][0]
+    b_pred_policy = slots["pred_policy"][0]
+    b_dyn_reward = slots["dyn_reward"][0]
+    b_dyn_state = slots["dyn_state"][0]
 
     ds_next = jnp.zeros((E, T), jnp.float32)
     for i in reversed(range(L)):
@@ -367,46 +561,26 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
       # dynamics branch
       ds_pre = minmax_bwd(st["s_pre"], ds_next)
       dr = cmask * (jnp.exp(st["r_ls"]) - st["rt"])            # [S41, T]
-      g_last = st["dyn_acts"][-1]
+      g_last = st["g"]
       acc(b_dyn_reward, dw_of(g_last, dr))
       acc(b_dyn_reward + 1, jnp.sum(dr, axis=1, keepdims=True))
       acc(b_dyn_state, dw_of(g_last, ds_pre))
       acc(b_dyn_state + 1, jnp.sum(ds_pre, axis=1, keepdims=True))
       dg = w_dx(dyn_reward[0], dr) + w_dx(dyn_state[0], ds_pre)
-      for j in reversed(range(n_dyn_hidden)):
-        dz = dg * back_elu_from_act(st["dyn_acts"][j])
-        w, _ = dyn_hidden[j]
-        if j == 0:
-          acc(layer_slot(b_dyn, j) + 1, jnp.sum(dz, axis=1, keepdims=True))
-          # split input grad: rows [:E] -> state, [E:] -> one-hot action
-          dsa = w_dx(w, dz)                                    # [E+A, T]
-          acc(layer_slot(b_dyn, j),
-              jnp.concatenate([dw_of(st["s"], dz), dw_of(st["a_oh"], dz)],
-                              axis=0))
-          ds_dyn = dsa[:E]
-        else:
-          prev = st["dyn_acts"][j - 1]
-          acc(layer_slot(b_dyn, j), dw_of(prev, dz))
-          acc(layer_slot(b_dyn, j) + 1, jnp.sum(dz, axis=1, keepdims=True))
-          dg = w_dx(w, dz)
-      if n_dyn_hidden == 0:
-        ds_dyn = dg[:E]  # pragma: no cover (family always has >=1 hidden)
+      ds_dyn = tower_bwd(dg, dyn_hidden, slots["dyn_layers"],
+                         st["dyn_stash"], first_inputs=(st["s"], st["a_oh"]))
 
       # prediction branch
       dv = cmask * (jnp.exp(st["v_ls"]) - st["vt"])
       dp = cmask * (jnp.exp(st["p_ls"]) - st["pit"])
-      h_last = st["pred_acts"][-1]
+      h_last = st["h"]
       acc(b_pred_value, dw_of(h_last, dv))
       acc(b_pred_value + 1, jnp.sum(dv, axis=1, keepdims=True))
       acc(b_pred_policy, dw_of(h_last, dp))
       acc(b_pred_policy + 1, jnp.sum(dp, axis=1, keepdims=True))
       dh = w_dx(pred_value[0], dv) + w_dx(pred_policy[0], dp)
-      for j in reversed(range(n_pred_hidden)):
-        dz = dh * back_elu_from_act(st["pred_acts"][j + 1])
-        w, _ = pred_hidden[j]
-        acc(layer_slot(b_pred, j), dw_of(st["pred_acts"][j], dz))
-        acc(layer_slot(b_pred, j) + 1, jnp.sum(dz, axis=1, keepdims=True))
-        dh = w_dx(w, dz)
+      dh = tower_bwd(dh, pred_hidden, slots["pred_layers"],
+                     st["pred_stash"])
 
       # total grad into s_i: prediction + gradient_scale * dynamics
       # (models/losses.py: s is scale_gradient'd AFTER prediction consumed
@@ -415,16 +589,11 @@ def _make_kernel(*, T: int, L: int, O: int, E: int, A: int, S41: int,
 
     # representation backward
     ds_pre0 = minmax_bwd(s_pre0, ds_next)
-    x_last = repr_acts[-1]
+    x_last = x
     acc(b_repr_out, dw_of(x_last, ds_pre0))
     acc(b_repr_out + 1, jnp.sum(ds_pre0, axis=1, keepdims=True))
     dx = w_dx(repr_out[0], ds_pre0)
-    for j in reversed(range(n_repr_hidden)):
-      dz = dx * back_elu_from_act(repr_acts[j + 1])
-      w, _ = repr_hidden[j]
-      acc(layer_slot(b_repr, j), dw_of(repr_acts[j], dz))
-      acc(layer_slot(b_repr, j) + 1, jnp.sum(dz, axis=1, keepdims=True))
-      dx = w_dx(w, dz)
+    tower_bwd(dx, repr_hidden, slots["repr_layers"], repr_stash)
 
     # ------------------------- outputs / accumulation --------------------
     first = pl.program_id(0) == 0
@@ -455,11 +624,95 @@ def _round_up(x: int, m: int) -> int:
   return ((x + m - 1) // m) * m
 
 
+def _as_spec(networks, lw) -> LearnerSpec:
+  if isinstance(lw, LearnerSpec):
+    return lw
+  return _spec_from_lw(lw, networks.support_size)
+
+
+def _run_kernel(spec: LearnerSpec, inputs, data_specs, *, T, G, BP, L, O, E,
+                A, gradient_scale, l2_coef, raw_layout, interpret):
+  entries, slots = _flatten_spec(spec)
+  wlist = [jnp.asarray(t, jnp.float32) if t.ndim == 2
+           else jnp.reshape(jnp.asarray(t, jnp.float32), (-1, 1))
+           for _, _, _, t in entries]
+  n_w = len(wlist)
+  kernel = _make_kernel(
+      T=T, L=L, O=O, E=E, A=A, S41=spec.num_bins,
+      repr_kinds=tuple(k for k, _ in spec.repr_layers),
+      pred_kinds=tuple(k for k, _ in spec.pred_layers),
+      dyn_kinds=tuple(k for k, _ in spec.dyn_layers),
+      slots=slots, n_w=n_w,
+      gradient_scale=gradient_scale, l2_coef=l2_coef,
+      support_size=spec.support_size, decode=spec.decode,
+      vmin=spec.vmin, vmax=spec.vmax, raw_layout=raw_layout)
+
+  def col_spec(rows):
+    return pl.BlockSpec((rows, T), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+  def const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+  in_specs = data_specs + [const_spec(w.shape) for w in wlist]
+  out_specs = ([const_spec(w.shape) for w in wlist]
+               + [col_spec(8), const_spec((1, 1))])
+  out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wlist]
+               + [jax.ShapeDtypeStruct((8, BP), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.float32)])
+
+  outs = pl.pallas_call(
+      kernel,
+      grid=(G,),
+      in_specs=in_specs,
+      out_specs=tuple(out_specs),
+      out_shape=tuple(out_shape),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(*inputs, *wlist)
+  return entries, outs[:n_w], outs[n_w], outs[n_w + 1]
+
+
+def _repack_grads(params, entries, dw_list):
+  """Flat kernel grads -> MZParams pytree (pure restructuring)."""
+  grads = {"representation": {}, "prediction": {}, "dynamic": {}}
+  for (net, module, pname, t), dw in zip(entries, dw_list):
+    grads[net].setdefault(module, {})[pname] = (
+        dw if t.ndim == 2 and pname == "w" else dw.reshape(t.shape))
+  return type(params)(
+      representation=grads["representation"],
+      prediction=grads["prediction"],
+      dynamic=grads["dynamic"],
+      temperature=jnp.zeros_like(params.temperature))
+
+
+def _finish_metrics(met, l2, coef, denom, rn0, B, priority_alpha):
+  from muax_tpu.models.losses import LossMetrics
+  v_sum = met[0, :B]
+  p_sum = met[1, :B]
+  r_sum = met[2, :B]
+  v0 = met[3, :B]
+  l2 = l2[0, 0]
+  per_example = (r_sum + v_sum + p_sum) / denom
+  total = jnp.sum(coef * per_example * denom) + l2  # = mean(w*per_ex) + l2
+  priorities = jnp.abs(v0 - rn0) ** priority_alpha
+  return LossMetrics(
+      total=total,
+      reward_loss=jnp.mean(r_sum / denom),
+      value_loss=jnp.mean(v_sum / denom),
+      policy_loss=jnp.mean(p_sum / denom),
+      l2_loss=l2,
+      priorities=jax.lax.stop_gradient(priorities),
+  )
+
+
 def fused_muzero_grad(
     params,
     batch,
     networks,
-    lw: LearnerWeights,
+    lw,
     *,
     l2_coef: float = 1e-4,
     gradient_scale: float = 0.5,
@@ -468,24 +721,27 @@ def fused_muzero_grad(
     batch_tile: int = 512,
     interpret: Optional[bool] = None,
 ):
-  """(grads: MZParams-pytree, metrics: LossMetrics-dict) with the exact
-  semantics of jax.grad(muzero_loss, has_aux=True) for the MLP family."""
-  from muax_tpu.models.losses import LossMetrics
-
+  """(grads: MZParams-pytree, metrics: LossMetrics) with the exact
+  semantics of jax.grad(muzero_loss, has_aux=True). ``lw`` is a
+  LearnerWeights (MLP family) or LearnerSpec (categorical family)."""
   if interpret is None:
     interpret = jax.default_backend() == "cpu"
+  spec = _as_spec(networks, lw)
   B = batch.action.shape[0]
   L = num_unroll_steps or batch.action.shape[1]
   A = networks.num_actions
-  S = networks.support_size
-  S41 = 2 * S + 1
-  E = lw.repr_out[1].shape[1]
+  S41 = spec.num_bins
+  E = spec.repr_out[0][2].shape[1]
   obs0 = batch.obs[:, 0].reshape(B, -1).astype(jnp.float32)
   O = obs0.shape[1]
 
   a_oh = jax.nn.one_hot(batch.action[:, :L], A, dtype=jnp.float32)
-  vt = scalar_to_support(batch.rn[:, :L], S)
-  rt = scalar_to_support(batch.reward[:, :L], S)
+  if spec.decode == "linear":
+    vt = scalar_to_two_hot(batch.rn[:, :L], S41, spec.vmin, spec.vmax)
+    rt = scalar_to_two_hot(batch.reward[:, :L], S41, spec.vmin, spec.vmax)
+  else:
+    vt = scalar_to_support(batch.rn[:, :L], spec.support_size)
+    rt = scalar_to_support(batch.reward[:, :L], spec.support_size)
   mask = batch.mask[:, :L].astype(jnp.float32)
   denom = jnp.maximum(jnp.sum(batch.mask, axis=1), 1.0)
   coef = (batch.weight / denom / B).astype(jnp.float32)
@@ -504,79 +760,20 @@ def fused_muzero_grad(
     # gradient or metric.
     inputs = [jnp.pad(x, ((0, 0), (0, BP - B))) for x in inputs]
 
-  order = _weight_order(lw)
-  wlist = []
-  for _, _, w, b in order:
-    wlist.append(jnp.asarray(w, jnp.float32))
-    wlist.append(jnp.reshape(jnp.asarray(b, jnp.float32), (-1, 1)))
-  n_w = len(wlist)
-
-  kernel = _make_kernel(
-      T=T, L=L, O=O, E=E, A=A, S41=S41,
-      n_repr_hidden=len(lw.repr_layers),
-      n_pred_hidden=len(lw.pred_layers),
-      n_dyn_hidden=len(lw.dyn_layers),
-      gradient_scale=gradient_scale, l2_coef=l2_coef, support_size=S)
-
   def col_spec(rows):
     return pl.BlockSpec((rows, T), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
-  def const_spec(shape):
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                        memory_space=pltpu.VMEM)
-
-  in_specs = ([col_spec(O), col_spec(L * A), col_spec(L * A),
-               col_spec(L * S41), col_spec(L * S41), col_spec(L),
-               col_spec(1)]
-              + [const_spec(w.shape) for w in wlist])
-  out_specs = ([const_spec(w.shape) for w in wlist]
-               + [col_spec(8), const_spec((1, 1))])
-  out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wlist]
-               + [jax.ShapeDtypeStruct((8, BP), jnp.float32),
-                  jax.ShapeDtypeStruct((1, 1), jnp.float32)])
-
-  outs = pl.pallas_call(
-      kernel,
-      grid=(G,),
-      in_specs=in_specs,
-      out_specs=tuple(out_specs),
-      out_shape=tuple(out_shape),
-      compiler_params=pltpu.CompilerParams(
-          vmem_limit_bytes=100 * 1024 * 1024),
-      interpret=interpret,
-  )(*inputs, *wlist)
-
-  dw_list, met, l2 = outs[:n_w], outs[n_w], outs[n_w + 1]
-
-  # Re-pack flat grads into the MZParams pytree (pure restructuring — no
-  # device ops).
-  grads = {"representation": {}, "prediction": {}, "dynamic": {}}
-  for k, (net, name, w, _) in enumerate(order):
-    grads[net][name] = {"w": dw_list[2 * k],
-                        "b": dw_list[2 * k + 1].reshape(-1)}
-  grads = type(params)(
-      representation=grads["representation"],
-      prediction=grads["prediction"],
-      dynamic=grads["dynamic"],
-      temperature=jnp.zeros_like(params.temperature))
-
-  v_sum = met[0, :B]
-  p_sum = met[1, :B]
-  r_sum = met[2, :B]
-  v0 = met[3, :B]
-  l2 = l2[0, 0]
-  per_example = (r_sum + v_sum + p_sum) / denom
-  total = jnp.sum(coef * per_example * denom) + l2  # = mean(w*per_ex) + l2
-  priorities = jnp.abs(v0 - batch.rn[:, 0]) ** priority_alpha
-  metrics = LossMetrics(
-      total=total,
-      reward_loss=jnp.mean(r_sum / denom),
-      value_loss=jnp.mean(v_sum / denom),
-      policy_loss=jnp.mean(p_sum / denom),
-      l2_loss=l2,
-      priorities=jax.lax.stop_gradient(priorities),
-  )
+  data_specs = [col_spec(O), col_spec(L * A), col_spec(L * A),
+                col_spec(L * S41), col_spec(L * S41), col_spec(L),
+                col_spec(1)]
+  entries, dw_list, met, l2 = _run_kernel(
+      spec, inputs, data_specs, T=T, G=G, BP=BP, L=L, O=O, E=E, A=A,
+      gradient_scale=gradient_scale, l2_coef=l2_coef, raw_layout=None,
+      interpret=interpret)
+  grads = _repack_grads(params, entries, dw_list)
+  metrics = _finish_metrics(met, l2, coef, denom, batch.rn[:, 0], B,
+                            priority_alpha)
   return grads, metrics
 
 
@@ -586,7 +783,7 @@ def fused_muzero_grad_raw(
     coef: jax.Array,              # [B] = weight / denom / B
     raw_layout,
     networks,
-    lw: LearnerWeights,
+    lw,
     *,
     l2_coef: float = 1e-4,
     gradient_scale: float = 0.5,
@@ -596,21 +793,18 @@ def fused_muzero_grad_raw(
     interpret: Optional[bool] = None,
 ):
   """``fused_muzero_grad`` fed straight from the fused sampler's raw rows:
-  no per-update XLA prep (one_hot / scalar_to_support / transposes) — the
+  no per-update XLA prep (one_hot / two-hot encode / transposes) — the
   kernel builds targets in VMEM (see _make_kernel's raw_layout mode).
   Semantics identical to fused_muzero_grad on the equivalent Transition
-  batch (test-pinned, tests/test_fused_learner.py)."""
-  from muax_tpu.models.losses import LossMetrics
-
+  batch (test-pinned, tests/test_fused_sampler.py)."""
   if interpret is None:
     interpret = jax.default_backend() == "cpu"
+  spec = _as_spec(networks, lw)
   lay = raw_layout
   B = raw.shape[1]
   L = num_unroll_steps or lay.K
   A = networks.num_actions
-  S = networks.support_size
-  S41 = 2 * S + 1
-  E = lw.repr_out[1].shape[1]
+  E = spec.repr_out[0][2].shape[1]
   O = lay.O
 
   T = min(batch_tile, _round_up(B, 128))
@@ -621,76 +815,17 @@ def fused_muzero_grad_raw(
     raw = jnp.pad(raw, ((0, 0), (0, BP - B)))
     coef_in = jnp.pad(coef_in, ((0, 0), (0, BP - B)))
 
-  order = _weight_order(lw)
-  wlist = []
-  for _, _, w, b in order:
-    wlist.append(jnp.asarray(w, jnp.float32))
-    wlist.append(jnp.reshape(jnp.asarray(b, jnp.float32), (-1, 1)))
-  n_w = len(wlist)
-
-  kernel = _make_kernel(
-      T=T, L=L, O=O, E=E, A=A, S41=S41,
-      n_repr_hidden=len(lw.repr_layers),
-      n_pred_hidden=len(lw.pred_layers),
-      n_dyn_hidden=len(lw.dyn_layers),
-      gradient_scale=gradient_scale, l2_coef=l2_coef, support_size=S,
-      raw_layout=lay)
-
   def col_spec(rows):
     return pl.BlockSpec((rows, T), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
-  def const_spec(shape):
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                        memory_space=pltpu.VMEM)
-
-  in_specs = ([col_spec(lay.rows), col_spec(1)]
-              + [const_spec(w.shape) for w in wlist])
-  out_specs = ([const_spec(w.shape) for w in wlist]
-               + [col_spec(8), const_spec((1, 1))])
-  out_shape = ([jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wlist]
-               + [jax.ShapeDtypeStruct((8, BP), jnp.float32),
-                  jax.ShapeDtypeStruct((1, 1), jnp.float32)])
-
-  outs = pl.pallas_call(
-      kernel,
-      grid=(G,),
-      in_specs=in_specs,
-      out_specs=tuple(out_specs),
-      out_shape=tuple(out_shape),
-      compiler_params=pltpu.CompilerParams(
-          vmem_limit_bytes=100 * 1024 * 1024),
-      interpret=interpret,
-  )(raw, coef_in, *wlist)
-
-  dw_list, met, l2 = outs[:n_w], outs[n_w], outs[n_w + 1]
-
-  grads = {"representation": {}, "prediction": {}, "dynamic": {}}
-  for k, (net, name, w, _) in enumerate(order):
-    grads[net][name] = {"w": dw_list[2 * k],
-                        "b": dw_list[2 * k + 1].reshape(-1)}
-  grads = type(params)(
-      representation=grads["representation"],
-      prediction=grads["prediction"],
-      dynamic=grads["dynamic"],
-      temperature=jnp.zeros_like(params.temperature))
-
-  v_sum = met[0, :B]
-  p_sum = met[1, :B]
-  r_sum = met[2, :B]
-  v0 = met[3, :B]
-  l2 = l2[0, 0]
+  entries, dw_list, met, l2 = _run_kernel(
+      spec, [raw, coef_in], [col_spec(lay.rows), col_spec(1)],
+      T=T, G=G, BP=BP, L=L, O=O, E=E, A=A,
+      gradient_scale=gradient_scale, l2_coef=l2_coef, raw_layout=lay,
+      interpret=interpret)
+  grads = _repack_grads(params, entries, dw_list)
   denom = raw[lay.denom, :B]
   rn0 = raw[lay.rn, :B]
-  per_example = (r_sum + v_sum + p_sum) / denom
-  total = jnp.sum(coef * per_example * denom) + l2
-  priorities = jnp.abs(v0 - rn0) ** priority_alpha
-  metrics = LossMetrics(
-      total=total,
-      reward_loss=jnp.mean(r_sum / denom),
-      value_loss=jnp.mean(v_sum / denom),
-      policy_loss=jnp.mean(p_sum / denom),
-      l2_loss=l2,
-      priorities=jax.lax.stop_gradient(priorities),
-  )
+  metrics = _finish_metrics(met, l2, coef, denom, rn0, B, priority_alpha)
   return grads, metrics

@@ -13,9 +13,14 @@ summary is written out.
 Scope: the flagship MLP network family (``models/networks.make_mlp_networks``)
 with the MuZero PUCT policy and the ``qtransform_by_parent_and_siblings``
 Q-normalization — the exact semantics of ``policies.muzero_policy`` (which
-itself matches the reference's MuZeroPolicy defaults, muax/policy.py:13-30).
-Other network families / policies fall back to the generic XLA engine; the
-dispatch lives in ``train/actor.py``.
+itself matches the reference's MuZeroPolicy defaults, muax/policy.py:13-30) —
+plus Gumbel sequential halving, the acme categorical two-hot family
+(FusedNetSpec), and (round 4) Stochastic MuZero's decision/chance
+interleave over A' = A + C (``_make_smz_kernel`` below — also the fix for
+the r3 TPU-runtime fault at 512 envs x 200 sims: the generic engine's
+[B, N, A+C] HBM tree arrays never exist). Other network families /
+policies fall back to the generic XLA engine; the dispatch lives in
+``train/actor.py``.
 
 Semantics deltas vs the XLA engine (documented, test-checked):
   * tie-breaking in PUCT argmax is deterministic (first max) instead of

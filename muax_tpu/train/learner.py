@@ -82,9 +82,12 @@ def _make_grad_step(networks: MZNetworks,
     # (train/actor.py).
     if (tcfg.fused_learner and not is_stochastic
         and jax.default_backend() != "cpu"):
-      from muax_tpu.models.fused_learner import (extract_learner_weights,
-                                                 fused_muzero_grad)
-      lw = extract_learner_weights(networks, train_state.params)
+      from muax_tpu.models.fused_learner import (
+          extract_categorical_learner_spec, extract_learner_weights,
+          fused_muzero_grad)
+      lw = (extract_learner_weights(networks, train_state.params)
+            or extract_categorical_learner_spec(networks,
+                                                train_state.params))
       if lw is not None:
         grads, metrics = fused_muzero_grad(
             train_state.params, batch, networks, lw,
@@ -225,8 +228,10 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
       # Interpret-mode Pallas is far slower than XLA on CPU; the flag lets
       # tests drive the fused path under the CPU conftest.
       return None
-    from muax_tpu.models.fused_learner import extract_learner_weights
-    lw = extract_learner_weights(networks, train_state.params)
+    from muax_tpu.models.fused_learner import (
+        extract_categorical_learner_spec, extract_learner_weights)
+    lw = (extract_learner_weights(networks, train_state.params)
+          or extract_categorical_learner_spec(networks, train_state.params))
     if lw is None:
       return None
     C = replay_state.capacity
@@ -249,8 +254,9 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
     (online/offline interleave, SPI gating, group-cadence priority
     refresh); only the sampling RNG stream differs (documented in
     fused_sampler.py)."""
-    from muax_tpu.models.fused_learner import (extract_learner_weights,
-                                               fused_muzero_grad_raw)
+    from muax_tpu.models.fused_learner import (
+        extract_categorical_learner_spec, extract_learner_weights,
+        fused_muzero_grad_raw)
     from muax_tpu.replay.fused_sampler import (draw_segments,
                                                fused_sample_group,
                                                transpose_ring)
@@ -286,7 +292,8 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
       def run_one(ts_c, j):
         raw_j = jax.lax.dynamic_slice_in_dim(raw, j * B, B, axis=1)
         coef_j = jax.lax.dynamic_slice_in_dim(coef, j * B, B, axis=0)
-        lw_c = extract_learner_weights(networks, ts_c.params)
+        lw_c = (extract_learner_weights(networks, ts_c.params)
+                or extract_categorical_learner_spec(networks, ts_c.params))
         grads, metrics = fused_muzero_grad_raw(
             ts_c.params, raw_j, coef_j, lay, networks, lw_c,
             l2_coef=tcfg.l2_coef, gradient_scale=tcfg.gradient_scale,

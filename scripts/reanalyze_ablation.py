@@ -1,0 +1,127 @@
+"""Reanalyze on/off ablation (VERDICT r4 item #9): prove the subsystem
+helps, not just runs.
+
+Same CartPole config, seed, and update budget; the ON arm additionally
+refreshes 64 stale segments every 2 iterations (reanalyze rewrites pi /
+value / rn / priorities from fresh search — train/reanalyze.py). Writes
+REANALYZE_r04.json with both test_G curves and the ON arm's
+reanalyze_value_shift trace (how far refreshed targets moved — the
+mechanism by which it helps).
+
+  python scripts/reanalyze_ablation.py --out REANALYZE_r04.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def run(reanalyze: bool, seed: int, num_iterations: int):
+  from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
+                               TrainConfig)
+  from muax_tpu.envs import CartPole
+  from muax_tpu.models import make_mlp_networks, muzero_optimizer
+  from muax_tpu.train.fit import fit
+
+  config = MuZeroConfig(
+      search=SearchConfig(policy="muzero", num_simulations=50,
+                          reanalyze_simulations=25),
+      replay=ReplayConfig(capacity=2048, min_fill=8, priority_alpha=0.5),
+      train=TrainConfig(num_envs=8, collect_steps=20, batch_size=256,
+                        updates_per_iteration=64, unroll_steps=10,
+                        n_bootstrap=10, discount=0.997))
+  networks = make_mlp_networks(num_actions=2, embedding_dim=10,
+                               support_size=20, repr_layers=(),
+                               pred_layers=(64, 64, 16),
+                               dyn_layers=(64, 64, 16))
+  optimizer = muzero_optimizer(peak_lr=2e-2, end_lr=1e-4, warmup_steps=2000,
+                               transition_steps=10000, decay_rate=0.8)
+  t0 = time.time()
+  _, results = fit(
+      CartPole(), networks, config, optimizer,
+      num_iterations=num_iterations, seed=seed,
+      eval_every=2, log_every=1, model_dir="/tmp/reanalyze_ablation",
+      reanalyze_every=2 if reanalyze else None, reanalyze_segments=64,
+      log_fn=lambda m: print(m, flush=True))
+  wall = time.time() - t0
+
+  curve, shift_trace, staleness = [], [], []
+  episodes = int(results.get("warmup_episodes", 0))
+  for row in results["history"]:
+    episodes += int(row.get("episodes_finished", 0))
+    if "test_G" in row:
+      curve.append({"iteration": row["iteration"], "episodes": episodes,
+                    "test_G": row["test_G"]})
+    if "reanalyze_value_shift" in row:
+      shift_trace.append({"iteration": row["iteration"],
+                          "value_shift": row["reanalyze_value_shift"]})
+    if "target_staleness" in row:
+      staleness.append(round(row["target_staleness"], 1))
+  solve = next((c for c in curve if c["test_G"] >= 500.0), None)
+  return {
+      "reanalyze": reanalyze,
+      "seed": seed,
+      "curve": curve,
+      "value_shift_trace": shift_trace,
+      "target_staleness_trace": staleness,
+      "episodes_to_solve": solve["episodes"] if solve else None,
+      "iteration_to_solve": solve["iteration"] if solve else None,
+      "best_test_G": max((c["test_G"] for c in curve), default=None),
+      "auc_test_G": round(sum(c["test_G"] for c in curve), 1),
+      "wall_s": round(wall, 1),
+  }
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--seeds", type=str, default="42,7,123")
+  p.add_argument("--num_iterations", type=int, default=50)
+  p.add_argument("--out", type=str, default="REANALYZE_r04.json")
+  args = p.parse_args()
+
+  seeds = [int(s) for s in args.seeds.split(",")]
+  arms = {"reanalyze_on": [], "reanalyze_off": []}
+  for seed in seeds:
+    for on in (True, False):
+      label = "reanalyze_on" if on else "reanalyze_off"
+      print(f"=== {label} seed {seed} ===", flush=True)
+      arms[label].append(run(on, seed, args.num_iterations))
+
+  def mean(xs):
+    xs = [x for x in xs if x is not None]
+    return round(sum(xs) / len(xs), 1) if xs else None
+
+  out = {
+      "experiment": "cartpole reanalyze on/off at matched update budget "
+                    "(64 updates/iter; ON refreshes 64 segments every 2 "
+                    "iterations at half search budget - ReZero recipe); "
+                    f"{len(seeds)} seeds per arm",
+      "device": str(jax.devices()[0]),
+      **arms,
+      "comparison": {
+          "mean_auc_on": mean([a["auc_test_G"]
+                               for a in arms["reanalyze_on"]]),
+          "mean_auc_off": mean([a["auc_test_G"]
+                                for a in arms["reanalyze_off"]]),
+          "mean_best_on": mean([a["best_test_G"]
+                                for a in arms["reanalyze_on"]]),
+          "mean_best_off": mean([a["best_test_G"]
+                                 for a in arms["reanalyze_off"]]),
+          "solves_on": sum(a["iteration_to_solve"] is not None
+                           for a in arms["reanalyze_on"]),
+          "solves_off": sum(a["iteration_to_solve"] is not None
+                            for a in arms["reanalyze_off"]),
+      },
+  }
+  with open(args.out, "w") as f:
+    json.dump(out, f, indent=1)
+  print(json.dumps(out["comparison"]))
+
+
+if __name__ == "__main__":
+  main()
