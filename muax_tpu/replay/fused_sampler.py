@@ -30,9 +30,10 @@ path's.
 
 Raw output row layout (see ``RawLayout``): per window lane, the window's
 start observation, per-step actions/rewards/n-step returns, the step-major
-policy targets, the validity mask, and three scalar rows (start index,
-start-step priority, mask denominator) the caller turns into importance
-weights and the priority-refresh scatter.
+policy targets, the validity mask, and four scalar rows (start index,
+start-step priority, mask denominator, segment target_step) the caller
+turns into importance weights, the priority-refresh scatter, and the
+staleness metric.
 """
 from __future__ import annotations
 

@@ -39,7 +39,12 @@ def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
         config, search=dataclasses.replace(
             config.search,
             num_simulations=config.search.reanalyze_simulations))
-  policy_fn = make_policy_fn(networks, config, config.train.discount)
+  # eval_mode: the refresh search runs WITHOUT root Dirichlet noise — the
+  # point of reanalyze is to rewrite stored targets with the best current
+  # estimate, not to re-inject exploration noise into the whole buffer
+  # (r4 ablation: noised refresh measurably degraded the learning curve).
+  policy_fn = make_policy_fn(networks, config, config.train.discount,
+                             eval_mode=True)
   tcfg = config.train
   L = tcfg.collect_steps
 

@@ -29,8 +29,7 @@ def run(reanalyze: bool, seed: int, num_iterations: int):
   from muax_tpu.train.fit import fit
 
   config = MuZeroConfig(
-      search=SearchConfig(policy="muzero", num_simulations=50,
-                          reanalyze_simulations=25),
+      search=SearchConfig(policy="muzero", num_simulations=50),
       replay=ReplayConfig(capacity=2048, min_fill=8, priority_alpha=0.5),
       train=TrainConfig(num_envs=8, collect_steps=20, batch_size=256,
                         updates_per_iteration=64, unroll_steps=10,
@@ -46,7 +45,7 @@ def run(reanalyze: bool, seed: int, num_iterations: int):
       CartPole(), networks, config, optimizer,
       num_iterations=num_iterations, seed=seed,
       eval_every=2, log_every=1, model_dir="/tmp/reanalyze_ablation",
-      reanalyze_every=2 if reanalyze else None, reanalyze_segments=64,
+      reanalyze_every=4 if reanalyze else None, reanalyze_segments=32,
       log_fn=lambda m: print(m, flush=True))
   wall = time.time() - t0
 
@@ -98,8 +97,8 @@ def main():
 
   out = {
       "experiment": "cartpole reanalyze on/off at matched update budget "
-                    "(64 updates/iter; ON refreshes 64 segments every 2 "
-                    "iterations at half search budget - ReZero recipe); "
+                    "(64 updates/iter; ON refreshes 32 segments every 4 "
+                    "iterations with NOISELESS full-budget search); "
                     f"{len(seeds)} seeds per arm",
       "device": str(jax.devices()[0]),
       **arms,
