@@ -271,6 +271,10 @@ MATRIX = [
     ("gumbel_mlp", dict(policy="gumbel", network="mlp", num_envs=8192,
                         num_simulations=64, collect_steps=20,
                         batch_size=512, updates=8, iters=5, tile=512)),
+    ("gumbel_training", dict(policy="gumbel", network="mlp",
+                             num_envs=1024, num_simulations=64,
+                             collect_steps=20, batch_size=4096,
+                             updates=0, iters=5, tile=512, spi=32.0)),
     ("muzero_categorical", dict(policy="muzero", network="categorical",
                                 num_envs=2048, num_simulations=64,
                                 collect_steps=20, batch_size=256,
