@@ -63,6 +63,16 @@ class AlphaZeroPlanes:
       # at run_alphazero.py:90 scrambles real pyspiel planes; this is a
       # deliberate divergence, not a parity bug.)
       t = t.reshape(-1, rows, cols).transpose(1, 2, 0)
+    elif t.shape[:2] == (rows, cols) and t.shape[1:] == (rows, cols):
+      # [P, H, W] with P == H == W (e.g. a 3x3x3 tic-tac-toe tensor) is
+      # indistinguishable from channels-last by shape alone; guessing
+      # wrong scrambles the planes silently (ADVICE r4). Callers must
+      # disambiguate: pass the FLAT observation_tensor (pyspiel's native
+      # ravel, handled above) or an explicit obs_extract.
+      raise ValueError(
+          f"ambiguous {t.shape} observation for a {rows}x{cols} board: "
+          "plane-major vs channels-last cannot be inferred when planes == "
+          "rows; pass the flat observation_tensor or a custom obs_extract")
     elif t.shape[:2] != (rows, cols) and t.shape[1:] == (rows, cols):
       t = t.transpose(1, 2, 0)  # already 3-D but plane-major
     player = float(t[0, 0, 3]) if t.shape[-1] > 3 else 0.0

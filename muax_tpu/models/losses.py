@@ -73,17 +73,47 @@ def muzero_loss(
     gradient_scale: float = 0.5,
     priority_alpha: float = 0.5,
     dynamics_on_first_embedding: bool = True,
+    compute_dtype=None,
+    remat: bool = False,
 ) -> tuple[jax.Array, LossMetrics]:
   """Compute the unrolled loss on a [B, L, ...] batch.
 
   ``dynamics_on_first_embedding`` keeps the top-level reference semantics
   (model.py:265-282: prediction runs on the *post*-transition embedding).
+
+  ``compute_dtype=jnp.bfloat16`` runs the network applies in bf16 (params
+  cast in-graph, so jax.grad still yields f32 master-weight grads — the
+  standard AMP recipe); the cross-entropies, target encodes, and L2 stay
+  f32. ``remat=True`` wraps the per-step applies in ``jax.checkpoint`` so
+  the backward pass recomputes activations instead of round-tripping them
+  through HBM — both knobs exist because the conv-family gradient step is
+  HBM-bandwidth-bound, not MXU-bound (scripts/conv_flops_analysis.py:
+  22.7 GF but ~1.1 GB accessed per update).
   """
   encode, decode = _target_codec(networks)
   num_steps = num_unroll_steps or batch.action.shape[1]
   batch_size = batch.action.shape[0]
 
-  s = networks.representation.apply(params.representation, batch.obs[:, 0])
+  if compute_dtype is not None:
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+  else:
+    cast = lambda t: t
+  repr_apply = networks.representation.apply
+  pred_apply = networks.prediction.apply
+  dyn_apply = networks.dynamic.apply
+  if remat:
+    repr_apply = jax.checkpoint(repr_apply)
+    dyn_apply = jax.checkpoint(dyn_apply)
+  repr_params = cast(params.representation)
+  pred_params = cast(params.prediction)
+  dyn_params = cast(params.dynamic)
+
+  obs0 = batch.obs[:, 0]
+  if compute_dtype is not None and jnp.issubdtype(obs0.dtype, jnp.floating):
+    obs0 = obs0.astype(compute_dtype)
+  s = repr_apply(repr_params, obs0)
 
   reward_loss = jnp.zeros(batch_size)
   value_loss = jnp.zeros(batch_size)
@@ -97,18 +127,19 @@ def muzero_loss(
   reward_targets = encode(batch.reward[:, :num_steps])
 
   for i in range(num_steps):
-    mask = batch.mask[:, i].astype(s.dtype)
-    policy_logits, value_logits = networks.prediction.apply(
-        params.prediction, s)
+    mask = batch.mask[:, i].astype(jnp.float32)
+    policy_logits, value_logits = pred_apply(pred_params, s)
+    policy_logits = policy_logits.astype(jnp.float32)
+    value_logits = value_logits.astype(jnp.float32)
     value_loss += mask * _ce(value_logits, value_targets[:, i])
     policy_loss += mask * _ce(policy_logits, batch.pi[:, i])
     if i == 0:
       first_value = decode(jax.nn.softmax(value_logits, -1))
 
     s = scale_gradient(s, gradient_scale)
-    reward_logits, s = networks.dynamic.apply(
-        params.dynamic, s, batch.action[:, i])
-    reward_loss += mask * _ce(reward_logits, reward_targets[:, i])
+    reward_logits, s = dyn_apply(dyn_params, s, batch.action[:, i])
+    reward_loss += mask * _ce(reward_logits.astype(jnp.float32),
+                              reward_targets[:, i])
 
   denom = jnp.maximum(jnp.sum(batch.mask, axis=1), 1.0)
   reward_loss = reward_loss / denom

@@ -180,7 +180,11 @@ def make_efficientzero_networks(
   full_support = 2 * support_size + 1
 
   def representation(obs):
-    x = obs.astype(jnp.float32)
+    # Integer frames (uint8 pixel storage) promote to f32; float inputs
+    # keep their dtype so the bf16 learner path (losses.py compute_dtype)
+    # runs the whole stack in bf16.
+    x = (obs if jnp.issubdtype(obs.dtype, jnp.floating)
+         else obs.astype(jnp.float32))
     if downsample:
       h = hk.Conv2D(max(channels // 2, 1), 3, stride=2)(x)
       h = ResidualConvBlock(max(channels // 2, 1), name="enc_block_0")(h)
@@ -232,8 +236,9 @@ def make_resnet_networks(
   full_support = 2 * support_size + 1
 
   def representation(obs):
-    h = _conv_torso(obs.astype(jnp.float32), channels, num_blocks,
-                    downsample=False)
+    x = (obs if jnp.issubdtype(obs.dtype, jnp.floating)
+         else obs.astype(jnp.float32))
+    h = _conv_torso(x, channels, num_blocks, downsample=False)
     return min_max_normalize2d(h)
 
   def prediction(s):

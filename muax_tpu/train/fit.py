@@ -161,6 +161,14 @@ def fit(
       config.replay.capacity, tcfg.collect_steps,
       env.spec.observation_shape, networks.num_actions)
 
+  # One-time fast-path report (VERDICT r4 item 7): which fused kernels this
+  # setup actually engages, and why not — a config that silently steps off
+  # a fused path can cost 2x+ with no error.
+  from muax_tpu.fused_status import format_fused_status, fused_status
+  log_fn("[muax_tpu] " + format_fused_status(
+      fused_status(networks, config, params, replay_state,
+                   optimizer=optimizer)))
+
   # NOTE: no donate_argnums — donating the replay/env buffers multiplies the
   # XLA compile time ~15x for this program (alias analysis over the fused
   # search custom-call), and the buffers are small enough that the copy is

@@ -218,32 +218,67 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
   metric_keys = ("loss", "reward_loss", "value_loss", "policy_loss",
                  "l2_loss", "grad_norm")
 
-  def _fused_group_ok(train_state, replay_state):
-    """Trace-time dispatch for the fused sampler + raw-kernel path."""
+  def _fused_group_status(train_state, replay_state):
+    """Trace-time dispatch for the fused sampler + raw-kernel path.
+
+    Returns (learner_weights | None, reason) — the reason string feeds
+    ``fused_status`` so a config that silently steps off the fast path is
+    visible in the fit log instead of a quiet 2x regression."""
     if not (tcfg.fused_learner and tcfg.fused_sampler):
-      return None
-    if hasattr(networks, "chance") or tcfg.observation_transform is not None:
-      return None
+      return None, "disabled by config (fused_learner/fused_sampler)"
+    if hasattr(networks, "chance"):
+      return None, "stochastic 5-net family has no raw learner kernel"
+    if tcfg.observation_transform is not None:
+      return None, "observation_transform runs on the XLA sampled batch"
     if jax.default_backend() == "cpu" and not _ALLOW_FUSED_SAMPLER_ON_CPU:
       # Interpret-mode Pallas is far slower than XLA on CPU; the flag lets
       # tests drive the fused path under the CPU conftest.
-      return None
+      return None, "CPU backend (interpret-mode Pallas is slower than XLA)"
     from muax_tpu.models.fused_learner import (
         extract_categorical_learner_spec, extract_learner_weights)
     lw = (extract_learner_weights(networks, train_state.params)
           or extract_categorical_learner_spec(networks, train_state.params))
     if lw is None:
-      return None
+      return None, ("network family has no LearnerSpec (MLP + acme "
+                    "LayerNormMLP only; fc-resnet/conv use jax.grad)")
     C = replay_state.capacity
     L = replay_state.segment_length
     O = 1
     for d in replay_state.obs.shape[2:]:
       O *= d
+    A = networks.num_actions
     W = group * B
     T = min(512, W)
-    if C > 8192 or O > 64 or L - tcfg.unroll_steps + 1 < 1 or W % T != 0:
-      return None
-    return lw
+    if O > 64:
+      return None, f"obs features {O} > 64 (conv/pixel rings stay in HBM)"
+    if L - tcfg.unroll_steps + 1 < 1:
+      return None, f"unroll {tcfg.unroll_steps} exceeds segment length {L}"
+    # Pallas tiles lanes in multiples of 128: a W that merely divides the
+    # 512-lane tile (e.g. 192) would still compile a misaligned kernel.
+    if W % T != 0 or W % 128 != 0:
+      return None, (f"group*batch {W} not a multiple of 128 "
+                    "(lane-tile alignment)")
+    if C > 8192:
+      return None, f"capacity {C} > 8192 segments (kernel design bound)"
+    # The ring is const-resident in VMEM: [O*L + A*L + 5L + 1, C] f32 rows
+    # (obs, pi, action/reward/rn/done/priorities, target_step) + the
+    # per-tile working set (the [C, T] one-hot, gathered rows, raw output,
+    # gumbel). Falling back beats a Pallas VMEM-exhaustion compile error
+    # (ADVICE r4).
+    ring_rows = O * L + A * L + 5 * L + 1
+    out_rows = O + 3 * tcfg.unroll_steps + A * tcfg.unroll_steps + 4 + 8
+    const_bytes = ring_rows * C * 4
+    tile_bytes = (C + ring_rows + 2 * out_rows + L + 1) * T * 4
+    budget = 80 * 1024 * 1024
+    if const_bytes + tile_bytes > budget:
+      return None, (f"ring + tile VMEM estimate "
+                    f"{(const_bytes + tile_bytes) >> 20} MB > "
+                    f"{budget >> 20} MB budget (capacity {C}, obs {O}, "
+                    f"actions {A})")
+    return lw, "active"
+
+  def _fused_group_ok(train_state, replay_state):
+    return _fused_group_status(train_state, replay_state)[0]
 
   def _fused_multi_update(train_state, replay_state, rng, num_allowed, lw):
     """The fused-sampler grouped learner: per group, ONE Pallas sampler
@@ -415,4 +450,7 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
         for k, v in metrics.items()}
     return train_state, replay_state, mean_metrics
 
+  # Introspection seam for muax_tpu.fused_status: report whether this
+  # learner will take the fused sampler + raw-kernel path and why (not).
+  multi_update.fused_group_status = _fused_group_status
   return multi_update

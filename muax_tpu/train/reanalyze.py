@@ -53,9 +53,10 @@ def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
     seg_rng, search_rng = jax.random.split(rng)
     # Stalest-first: sample by target age (filled slots only), so the
     # freshness ledger burns down where it matters most. Inverse-CDF draw
-    # (cumsum + searchsorted) — same distribution as categorical without
-    # materializing a [num_segments, capacity] Gumbel matrix (the TPU
-    # lowering fixed in replay/buffer.py applies here too).
+    # via the same fused compare+count as replay/buffer.py (TPU
+    # searchsorted lowers to a log2(C) gather loop) — same distribution
+    # as categorical without materializing a [num_segments, capacity]
+    # Gumbel matrix.
     C = replay_state.capacity
     filled = jnp.arange(C) < replay_state.size
     age = (jnp.asarray(step, jnp.int32) - replay_state.target_step).astype(
@@ -65,7 +66,9 @@ def make_reanalyze_fn(networks: MZNetworks, config: MuZeroConfig,
     weights = jnp.where(filled, 1.0 + jnp.maximum(age, 0.0), 0.0)
     cdf = jnp.cumsum(weights)
     u = jax.random.uniform(seg_rng, (num_segments,)) * cdf[-1]
-    seg_idx = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, C - 1)
+    seg_idx = jnp.clip(
+        jnp.sum((u[:, None] >= cdf[None, :]).astype(jnp.int32), axis=1),
+        0, C - 1)
 
     obs = replay_state.obs[seg_idx]          # [K, L, ...]
     flat_obs = obs.reshape((num_segments * L,) + obs.shape[2:])

@@ -344,3 +344,60 @@ class TestResumeOptFormatGuard:
           optimizer=muzero_optimizer(flatten=False),
           num_iterations=2, model_dir=str(tmp_path), resume_from=ckpt,
           log_every=10, log_fn=lambda *_: None)
+
+
+class TestMixedPrecisionLoss:
+  """losses.muzero_loss(compute_dtype=bf16, remat=True): the conv-family
+  bandwidth levers (scripts/conv_flops_analysis.py) must not change the
+  gradient direction (AMP: f32 master grads, bf16 compute)."""
+
+  def _setup(self):
+    from muax_tpu.models import make_efficientzero_networks
+    from muax_tpu.types import Transition
+    nets = make_efficientzero_networks(num_actions=3, support_size=10,
+                                       channels=8, num_blocks=1)
+    B, L, OBS = 4, 3, (16, 16, 1)
+    params = nets.init_params(jax.random.PRNGKey(0), jnp.zeros((1,) + OBS))
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch = Transition(
+        obs=jax.random.uniform(ks[0], (B, L) + OBS),
+        action=jax.random.randint(ks[1], (B, L), 0, 3),
+        reward=jax.random.normal(ks[2], (B, L)) * 0.1,
+        done=jnp.zeros((B, L), bool),
+        rn=jax.random.normal(ks[2], (B, L)),
+        value=jnp.zeros((B, L)),
+        pi=jnp.full((B, L, 3), 1 / 3),
+        mask=jnp.ones((B, L)),
+        weight=jnp.ones((B,)))
+    return nets, params, batch
+
+  def test_bf16_remat_grads_match_f32(self):
+    from muax_tpu.models.losses import muzero_loss
+    nets, params, batch = self._setup()
+    g0, m0 = jax.grad(lambda p: muzero_loss(p, batch, nets),
+                      has_aux=True)(params)
+    g1, m1 = jax.grad(
+        lambda p: muzero_loss(p, batch, nets, compute_dtype=jnp.bfloat16,
+                              remat=True), has_aux=True)(params)
+    leaves0 = jax.tree.leaves((g0.representation, g0.prediction, g0.dynamic))
+    leaves1 = jax.tree.leaves((g1.representation, g1.prediction, g1.dynamic))
+    # Master grads stay f32 under AMP.
+    assert all(x.dtype == jnp.float32 for x in leaves1)
+    f0 = jnp.concatenate([x.ravel() for x in leaves0])
+    f1 = jnp.concatenate([x.ravel() for x in leaves1])
+    cos = jnp.vdot(f0, f1) / (
+        jnp.linalg.norm(f0) * jnp.linalg.norm(f1) + 1e-12)
+    assert float(cos) > 0.98, float(cos)
+    # Loss value close in relative terms (bf16 has ~3 decimal digits).
+    assert abs(float(m0.total) - float(m1.total)) < 0.05 * (
+        abs(float(m0.total)) + 1e-6)
+
+  def test_remat_alone_is_exact(self):
+    from muax_tpu.models.losses import muzero_loss
+    nets, params, batch = self._setup()
+    g0, _ = jax.grad(lambda p: muzero_loss(p, batch, nets),
+                     has_aux=True)(params)
+    g2, _ = jax.grad(lambda p: muzero_loss(p, batch, nets, remat=True),
+                     has_aux=True)(params)
+    for a, b in zip(jax.tree.leaves(g0)[:-1], jax.tree.leaves(g2)[:-1]):
+      assert jnp.allclose(a, b, atol=1e-5), (a - b)

@@ -177,3 +177,20 @@ def test_pool_composes_with_rollout():
       params, carry, jax.random.PRNGKey(2), 1.0)
   assert segments.obs.shape == (4, 6, 1, 3, 5)
   assert int(metrics["episodes_finished"]) > 0  # 3-move games finish fast
+
+
+def test_ambiguous_square_plane_tensor_raises():
+  """[P, H, W] with P == H == W cannot be disambiguated by shape; guessing
+  scrambles planes silently (ADVICE r4) — the extractor must refuse."""
+  import numpy as np
+  import pytest
+
+  from muax_tpu.envs.open_spiel_adapter import AlphaZeroPlanes
+
+  with pytest.raises(ValueError, match="ambiguous"):
+    AlphaZeroPlanes._default_extract(np.zeros((3, 3, 3), np.float32), 3, 3)
+  # Flat tensors (pyspiel's native ravel) stay the supported spelling.
+  flat = np.arange(27, dtype=np.float32)
+  black, white, _ = AlphaZeroPlanes._default_extract(flat, 3, 3)
+  assert black.shape == (3, 3) and float(black[0, 0]) == 0.0
+  assert float(white[0, 0]) == 9.0  # plane-major: plane 1 starts at 9
