@@ -86,14 +86,18 @@ def make_networks(kind: str):
 def make_env(kind: str):
   from muax_tpu.envs import AutoResetWrapper, CartPole, PixelCatch
   if kind == "ez_conv":
-    return AutoResetWrapper(PixelCatch(rows=10, columns=5, scale=8))
+    # uint8 frames (the reference ALE convention): the ring stores raw
+    # bytes — 4x less replay gather traffic than f32 storage.
+    return AutoResetWrapper(PixelCatch(rows=10, columns=5, scale=8,
+                                       dtype=jnp.uint8))
   return AutoResetWrapper(CartPole())
 
 
 def run_config(*, policy: str, network: str, num_envs: int,
                num_simulations: int, collect_steps: int, batch_size: int,
                updates: int, iters: int, tile, spi=None,
-               presample: int = 16, seed: int = 0) -> dict:
+               presample: int = 16, seed: int = 0,
+               repeats: int = 3) -> dict:
   """Build the full training iteration (rollout + replay + learner) for one
   configuration and measure sustained throughput on the current backend."""
   from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
@@ -131,8 +135,10 @@ def run_config(*, policy: str, network: str, num_envs: int,
   train_state = TrainState(params=params, opt_state=optimizer.init(params),
                            step=jnp.asarray(0, jnp.int32))
   env_carry = env.reset(env_rng, num_envs)
-  replay_state = replay_init(config.replay.capacity, collect_steps,
-                             obs_shape, networks.num_actions)
+  replay_state = replay_init(
+      config.replay.capacity, collect_steps, obs_shape,
+      networks.num_actions,
+      obs_dtype=getattr(env.spec, "obs_dtype", None) or jnp.float32)
 
   # NOTE: no donate_argnums — donating the replay/env buffers multiplies the
   # XLA compile time ~15x for this program (alias analysis over the fused
@@ -166,7 +172,10 @@ def run_config(*, policy: str, network: str, num_envs: int,
 
   # Sustained throughput, ONE scalar readback per iteration — exactly how
   # fit() runs. Deeper enqueue-only chaining is NOT faster over the axon
-  # tunnel (3x slower at depth 10). Best-of-3 blocks to reject tunnel noise.
+  # tunnel (3x slower at depth 10). `repeats` timed blocks: the headline is
+  # the MEDIAN block, with p10/p90 reported so the claim is variance-robust
+  # (VERDICT r4 weak #1: single-run point estimates spanned 87.6k-128.8k
+  # for the same config over the noisy tunnel).
   def timed_block():
     nonlocal train_state, replay_state, env_carry, rng
     t0 = time.time()
@@ -177,9 +186,26 @@ def run_config(*, policy: str, network: str, num_envs: int,
       float(metrics["loss"])
     return time.time() - t0
 
-  dt = min(timed_block() for _ in range(3)) / iters
+  block_dts = sorted(timed_block() / iters for _ in range(max(repeats, 1)))
 
+  def _pct(q):
+    # Linear-interpolated percentile over the sorted block times.
+    idx = q / 100 * (len(block_dts) - 1)
+    lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+    frac = idx - lo
+    return block_dts[lo] * (1 - frac) + block_dts[hi] * frac
+
+  dt = _pct(50)
   env_steps = num_envs * collect_steps
+  repeat_stats = {
+      "n_blocks": len(block_dts), "iters_per_block": iters,
+      "env_steps_per_s_median": round(env_steps / dt, 1),
+      # p10 throughput comes from the p90 (slow) block time and vice versa.
+      "env_steps_per_s_p10": round(env_steps / _pct(90), 1),
+      "env_steps_per_s_p90": round(env_steps / _pct(10), 1),
+      "env_steps_per_s_min": round(env_steps / block_dts[-1], 1),
+      "env_steps_per_s_max": round(env_steps / block_dts[0], 1),
+  }
   out = {
       "policy": policy,
       "network": network,
@@ -192,6 +218,7 @@ def run_config(*, policy: str, network: str, num_envs: int,
       "learner_updates_per_s": round(updates / dt, 2),
       "learner_windows_per_s": round(updates * batch_size / dt, 1),
       "iteration_ms": round(dt * 1e3, 1),
+      "repeat_stats": repeat_stats,
   }
   if spi is not None:
     out["samples_per_insert"] = spi
@@ -298,7 +325,19 @@ MATRIX = [
     ("ez_conv_training", dict(policy="muzero", network="ez_conv",
                               num_envs=256, num_simulations=32,
                               collect_steps=20, batch_size=256,
-                              updates=0, iters=2, tile=0, spi=32.0)),
+                              updates=0, iters=2, tile=0, spi=32.0,
+                              presample=64)),
+    # Same SPI=32 density at batch 1024: the conv grad step carries
+    # ~0.7 ms of fixed per-op overhead per update (scripts/
+    # conv_scaling_probe_out.json — ms/update flat from B=32 to 128),
+    # so fewer, larger updates amortize it. Batch is an implementation
+    # lever here, not a reference-pinned constant (the reference never
+    # ran a pixel config; its acme default batch is 32).
+    ("ez_conv_training_b1024", dict(policy="muzero", network="ez_conv",
+                                    num_envs=256, num_simulations=32,
+                                    collect_steps=20, batch_size=1024,
+                                    updates=0, iters=2, tile=0, spi=32.0,
+                                    presample=64)),
     ("categorical_training", dict(policy="muzero", network="categorical",
                                   num_envs=512, num_simulations=64,
                                   collect_steps=20, batch_size=1024,
@@ -322,16 +361,19 @@ def main():
                  help="mlp | categorical | ez_conv | smz_mlp")
   p.add_argument("--spi", type=float, default=None,
                  help="single mode: derive updates from samples_per_insert")
+  p.add_argument("--presample", type=int, default=16,
+                 help="updates per replay_sample group")
   p.add_argument("--matrix", action="store_true",
                  help="bench the non-flagship paths, write "
-                      "BENCH_MATRIX_r04.json")
+                      "BENCH_MATRIX_r05.json")
+  p.add_argument("--matrix_out", type=str, default="BENCH_MATRIX_r05.json")
   args = p.parse_args()
 
   if args.matrix:
     # Incremental + resumable: each row lands in the file as soon as it is
     # measured (a TPU worker crash mid-matrix must not lose prior rows),
     # and already-present rows are skipped on re-run.
-    path = "BENCH_MATRIX_r04.json"
+    path = args.matrix_out
     rows = {}
     if os.path.exists(path):
       with open(path) as f:
@@ -362,7 +404,8 @@ def main():
                      num_simulations=args.num_simulations,
                      collect_steps=args.collect_steps,
                      batch_size=args.batch_size, updates=args.updates,
-                     iters=args.iters, tile=args.tile, spi=args.spi)
+                     iters=args.iters, tile=args.tile, spi=args.spi,
+                     presample=args.presample)
     print(json.dumps(res))
     return
 
@@ -373,12 +416,18 @@ def main():
                        collect_steps=args.collect_steps,
                        batch_size=args.batch_size, updates=args.updates,
                        iters=args.iters, tile=args.tile)
+  # The north-star claim must hold at the p10 block, not one lucky run:
+  # 7 timed blocks of 5 iterations each (VERDICT r4 item 2).
   training = run_config(policy="muzero", network="mlp", num_envs=1024,
                         num_simulations=args.num_simulations,
                         collect_steps=20, batch_size=4096, updates=0,
-                        iters=5, tile=512, spi=32.0, presample=16)
+                        iters=5, tile=512, spi=32.0, presample=16,
+                        repeats=7)
   training["vs_baseline"] = round(
       training["env_steps_per_s"] / BASELINE_ENV_STEPS_PER_S, 3)
+  training["vs_baseline_p10"] = round(
+      training["repeat_stats"]["env_steps_per_s_p10"]
+      / BASELINE_ENV_STEPS_PER_S, 3)
 
   print(json.dumps({
       "metric": "env_steps_per_s_per_chip",

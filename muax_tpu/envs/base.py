@@ -20,6 +20,11 @@ class EnvSpec(NamedTuple):
   observation_shape: Tuple[int, ...]
   num_actions: int
   max_episode_steps: int
+  # Storage dtype of observations (None = float32). Integer-frame envs
+  # (uint8 pixels, the reference's ALE convention) declare it here so the
+  # replay ring stores raw bytes — 4x less HBM gather traffic at the
+  # conv family's SPI=32 density — and the networks up-cast on entry.
+  obs_dtype: Any = None
 
 
 class Environment(abc.ABC):

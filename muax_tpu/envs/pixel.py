@@ -32,22 +32,27 @@ class PixelObsEnv(Environment):
   over to the pixel domain — exactly what a conv-family learning test needs.
   """
 
-  def __init__(self, env: Environment, scale: int = 8):
+  def __init__(self, env: Environment, scale: int = 8, dtype=jnp.float32):
     if len(env.spec.observation_shape) != 2:
       raise ValueError("PixelObsEnv wraps 2D-board observations, got "
                        f"{env.spec.observation_shape}")
     self.env = env
     self.scale = scale
+    self.dtype = dtype
     h, w = env.spec.observation_shape
     self.spec = EnvSpec(
         observation_shape=(h * scale, w * scale, 1),
         num_actions=env.spec.num_actions,
-        max_episode_steps=env.spec.max_episode_steps)
+        max_episode_steps=env.spec.max_episode_steps,
+        # uint8 frames ride the raw-byte replay path (EnvSpec.obs_dtype):
+        # the reference's ALE frames are uint8 for the same reason
+        # (examples/rl_discrete/helpers.py:90-103).
+        obs_dtype=None if dtype == jnp.float32 else dtype)
 
   def _render(self, board: jnp.ndarray) -> jnp.ndarray:
     img = jnp.repeat(jnp.repeat(board, self.scale, axis=0), self.scale,
                      axis=1)
-    return img[..., None].astype(jnp.float32)
+    return img[..., None].astype(self.dtype)
 
   def reset(self, rng):
     state, obs = self.env.reset(rng)
@@ -63,7 +68,10 @@ class PixelCatch(PixelObsEnv):
 
   ``PixelCatch(rows=10, columns=5, scale=8)`` gives 80x80x1 frames, the
   closest pure-JAX analog of the reference's 84x84 Atari configuration
-  (examples/rl_discrete/helpers.py:90-103)."""
+  (examples/rl_discrete/helpers.py:90-103). ``dtype=jnp.uint8`` stores
+  frames as raw bytes end-to-end (replay ring included)."""
 
-  def __init__(self, rows: int = 10, columns: int = 5, scale: int = 8):
-    super().__init__(Catch(rows=rows, columns=columns), scale=scale)
+  def __init__(self, rows: int = 10, columns: int = 5, scale: int = 8,
+               dtype=jnp.float32):
+    super().__init__(Catch(rows=rows, columns=columns), scale=scale,
+                     dtype=dtype)

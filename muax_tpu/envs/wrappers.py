@@ -46,7 +46,8 @@ class FrameStackingEnv(Environment):
           inner.observation_shape[-1] * num_frames,)
     self.spec = EnvSpec(observation_shape=obs_shape,
                         num_actions=inner.num_actions,
-                        max_episode_steps=inner.max_episode_steps)
+                        max_episode_steps=inner.max_episode_steps,
+                        obs_dtype=inner.obs_dtype)
 
   def _obs(self, frames):
     if self.stack:
@@ -135,7 +136,8 @@ class PoolFrameStacking:
     self.spec = EnvSpec(
         observation_shape=s.observation_shape[:-1] + (c * num_stack,),
         num_actions=s.num_actions,
-        max_episode_steps=s.max_episode_steps)
+        max_episode_steps=s.max_episode_steps,
+        obs_dtype=s.obs_dtype)
     if hasattr(env, "num_envs"):
       self.num_envs = env.num_envs
     if hasattr(env, "legal_action_mask"):

@@ -75,6 +75,7 @@ def muzero_loss(
     dynamics_on_first_embedding: bool = True,
     compute_dtype=None,
     remat: bool = False,
+    batched_prediction: bool = True,
 ) -> tuple[jax.Array, LossMetrics]:
   """Compute the unrolled loss on a [B, L, ...] batch.
 
@@ -126,20 +127,47 @@ def muzero_loss(
   value_targets = encode(batch.rn[:, :num_steps])
   reward_targets = encode(batch.reward[:, :num_steps])
 
-  for i in range(num_steps):
-    mask = batch.mask[:, i].astype(jnp.float32)
-    policy_logits, value_logits = pred_apply(pred_params, s)
-    policy_logits = policy_logits.astype(jnp.float32)
-    value_logits = value_logits.astype(jnp.float32)
-    value_loss += mask * _ce(value_logits, value_targets[:, i])
-    policy_loss += mask * _ce(policy_logits, batch.pi[:, i])
-    if i == 0:
-      first_value = decode(jax.nn.softmax(value_logits, -1))
+  if batched_prediction:
+    # Exact-math op-count reduction: the prediction tower never feeds the
+    # dynamics chain, so run the chain first, stack the K per-step latents,
+    # and apply prediction ONCE on a [K*B] batch. Identical gradients
+    # (test-pinned); K x fewer prediction ops — the conv-family learner is
+    # per-op-overhead bound (scripts/conv_scaling_probe_out.json: ms/update
+    # flat from batch 32 to 128 over ~1400 compiled ops).
+    step_states = [s]
+    for i in range(num_steps):
+      s = scale_gradient(s, gradient_scale)
+      reward_logits, s = dyn_apply(dyn_params, s, batch.action[:, i])
+      reward_loss += batch.mask[:, i].astype(jnp.float32) * _ce(
+          reward_logits.astype(jnp.float32), reward_targets[:, i])
+      if i < num_steps - 1:
+        step_states.append(s)
+    stacked = jnp.concatenate(step_states, axis=0)       # [K*B, ...]
+    policy_logits, value_logits = pred_apply(pred_params, stacked)
+    policy_logits = policy_logits.astype(jnp.float32).reshape(
+        (num_steps, batch_size, -1))
+    value_logits = value_logits.astype(jnp.float32).reshape(
+        (num_steps, batch_size, -1))
+    mask_t = batch.mask.astype(jnp.float32)
+    for i in range(num_steps):
+      value_loss += mask_t[:, i] * _ce(value_logits[i], value_targets[:, i])
+      policy_loss += mask_t[:, i] * _ce(policy_logits[i], batch.pi[:, i])
+    first_value = decode(jax.nn.softmax(value_logits[0], -1))
+  else:
+    for i in range(num_steps):
+      mask = batch.mask[:, i].astype(jnp.float32)
+      policy_logits, value_logits = pred_apply(pred_params, s)
+      policy_logits = policy_logits.astype(jnp.float32)
+      value_logits = value_logits.astype(jnp.float32)
+      value_loss += mask * _ce(value_logits, value_targets[:, i])
+      policy_loss += mask * _ce(policy_logits, batch.pi[:, i])
+      if i == 0:
+        first_value = decode(jax.nn.softmax(value_logits, -1))
 
-    s = scale_gradient(s, gradient_scale)
-    reward_logits, s = dyn_apply(dyn_params, s, batch.action[:, i])
-    reward_loss += mask * _ce(reward_logits.astype(jnp.float32),
-                              reward_targets[:, i])
+      s = scale_gradient(s, gradient_scale)
+      reward_logits, s = dyn_apply(dyn_params, s, batch.action[:, i])
+      reward_loss += mask * _ce(reward_logits.astype(jnp.float32),
+                                reward_targets[:, i])
 
   denom = jnp.maximum(jnp.sum(batch.mask, axis=1), 1.0)
   reward_loss = reward_loss / denom

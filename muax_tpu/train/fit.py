@@ -159,7 +159,8 @@ def fit(
   env_carry = wrapped.reset(env_rng, tcfg.num_envs)
   replay_state = replay_init(
       config.replay.capacity, tcfg.collect_steps,
-      env.spec.observation_shape, networks.num_actions)
+      env.spec.observation_shape, networks.num_actions,
+      obs_dtype=getattr(env.spec, "obs_dtype", None) or jnp.float32)
 
   # One-time fast-path report (VERDICT r4 item 7): which fused kernels this
   # setup actually engages, and why not — a config that silently steps off

@@ -101,7 +101,10 @@ def main():
       "solved": solve_iteration is not None,
       "solve_iteration": solve_iteration,
       "best_test_G": results["best_reward"],
-      "total_updates": args.num_iterations * 32,
+      # fit early-stops at target_reward, so count executed iterations.
+      "total_updates": (results["history"][-1]["iteration"] * 32
+                        if results["history"] else 0),
+      "budget_updates": args.num_iterations * 32,
       "wall_seconds": round(wall, 1),
       "device": str(jax.devices()[0]),
       "eval_curve": curve,

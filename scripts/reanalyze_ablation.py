@@ -76,24 +76,54 @@ def run(reanalyze: bool, seed: int, num_iterations: int):
   }
 
 
+def _bootstrap_ci(diffs, n_boot=10000, alpha=0.05, seed=0):
+  """Percentile bootstrap CI on the mean of paired differences."""
+  import numpy as np
+  rng = np.random.default_rng(seed)
+  diffs = np.asarray(diffs, np.float64)
+  means = rng.choice(diffs, size=(n_boot, len(diffs)),
+                     replace=True).mean(axis=1)
+  lo, hi = np.percentile(means, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+  return float(diffs.mean()), float(lo), float(hi)
+
+
 def main():
   p = argparse.ArgumentParser()
-  p.add_argument("--seeds", type=str, default="42,7,123")
+  # >= 8 paired seeds per arm (VERDICT r4 item 5); the r4 3-seed result
+  # was suggestive, not established.
+  p.add_argument("--seeds", type=str, default="42,7,123,0,1,2,3,5,11,13")
   p.add_argument("--num_iterations", type=int, default=50)
-  p.add_argument("--out", type=str, default="REANALYZE_r04.json")
+  p.add_argument("--out", type=str, default="REANALYZE_r05.json")
   args = p.parse_args()
 
   seeds = [int(s) for s in args.seeds.split(",")]
   arms = {"reanalyze_on": [], "reanalyze_off": []}
+  # Incremental: re-runs resume from the partial file (TPU worker crashes
+  # mid-sweep must not lose finished seeds).
+  if os.path.exists(args.out + ".partial"):
+    with open(args.out + ".partial") as f:
+      arms = json.load(f)
   for seed in seeds:
     for on in (True, False):
       label = "reanalyze_on" if on else "reanalyze_off"
+      if any(a["seed"] == seed for a in arms[label]):
+        print(f"=== {label} seed {seed}: already done ===", flush=True)
+        continue
       print(f"=== {label} seed {seed} ===", flush=True)
       arms[label].append(run(on, seed, args.num_iterations))
+      with open(args.out + ".partial", "w") as f:
+        json.dump(arms, f)
 
   def mean(xs):
     xs = [x for x in xs if x is not None]
     return round(sum(xs) / len(xs), 1) if xs else None
+
+  # Paired (same-seed) AUC differences + bootstrap CI on the mean delta.
+  auc_on = {a["seed"]: a["auc_test_G"] for a in arms["reanalyze_on"]}
+  auc_off = {a["seed"]: a["auc_test_G"] for a in arms["reanalyze_off"]}
+  paired = sorted(set(auc_on) & set(auc_off))
+  diffs = [auc_on[s] - auc_off[s] for s in paired]
+  mean_d, lo, hi = _bootstrap_ci(diffs)
 
   out = {
       "experiment": "cartpole reanalyze on/off at matched update budget "
@@ -115,6 +145,11 @@ def main():
                            for a in arms["reanalyze_on"]),
           "solves_off": sum(a["iteration_to_solve"] is not None
                             for a in arms["reanalyze_off"]),
+          "paired_seeds": paired,
+          "paired_auc_diffs": [round(d, 1) for d in diffs],
+          "mean_auc_delta": round(mean_d, 1),
+          "auc_delta_ci95": [round(lo, 1), round(hi, 1)],
+          "ci_excludes_zero": bool(lo > 0 or hi < 0),
       },
   }
   with open(args.out, "w") as f:

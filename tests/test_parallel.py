@@ -200,3 +200,89 @@ class TestGoScaleModelParallel:
     assert logits.shape == (2, 362) and value.shape == (2,)
     assert bool(jnp.all(jnp.isfinite(logits))) and bool(
         jnp.all(jnp.isfinite(value)))
+
+
+class TestFusedPathUnderShardMap:
+  """The fused sampler + raw-kernel learner executing on the mesh
+  (VERDICT r4 item 6: the shipped fast path had zero multi-device
+  coverage). Replay content is made WINDOW-INVARIANT (every segment
+  constant in time, uniform priorities) so the fused and XLA samplers —
+  whose RNG streams legitimately differ — must produce byte-identical
+  batches, and therefore matching updated parameters, per psum'd step."""
+
+  def _uniform_replay(self, shard: int, capacity: int, L: int):
+    from muax_tpu.replay.buffer import replay_add, replay_init
+    from muax_tpu.types import Transition
+    obs_val = 0.1 + 0.05 * shard
+    K = capacity
+    segs = Transition(
+        obs=jnp.full((K, L, 4), obs_val),
+        action=jnp.ones((K, L), jnp.int32),
+        reward=jnp.full((K, L), 0.25),
+        done=jnp.zeros((K, L), bool),
+        rn=jnp.full((K, L), 0.5 + 0.1 * shard),
+        value=jnp.zeros((K, L)),
+        pi=jnp.full((K, L, 2), 0.5),
+        weight=jnp.ones((K,)),
+        mask=jnp.ones((K, L)))
+    rs = replay_init(capacity, L, (4,), 2)
+    return replay_add(rs, segs, jnp.ones((K, L)))
+
+  def _run(self, mesh, fused: bool, monkeypatch):
+    import optax
+
+    import muax_tpu.train.learner as learner_mod
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from muax_tpu.train.learner import TrainState, make_multi_update_fn
+    monkeypatch.setattr(learner_mod, "_ALLOW_FUSED_SAMPLER_ON_CPU", True)
+
+    L = 8
+    config = MuZeroConfig(
+        search=SearchConfig(num_simulations=4),
+        replay=ReplayConfig(capacity=16, min_fill=4),
+        train=TrainConfig(num_envs=8, collect_steps=L, batch_size=128,
+                          updates_per_iteration=1, unroll_steps=3,
+                          n_bootstrap=4, presample_updates=1,
+                          fused_learner=fused, fused_sampler=fused))
+    networks = make_mlp_networks(2, embedding_dim=8, support_size=10)
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    opt = optax.sgd(1e-2)
+    ts = TrainState(params=params, opt_state=opt.init(params),
+                    step=jnp.asarray(0, jnp.int32))
+    mu = make_multi_update_fn(networks, opt, config, axis_name=DATA_AXIS)
+
+    if fused:
+      # The gate must report the fused path ACTIVE for this setup —
+      # otherwise this test silently compares XLA against XLA.
+      lw, reason = mu.fused_group_status(ts, self._uniform_replay(0, 16, L))
+      assert lw is not None, reason
+
+    locals_ = [self._uniform_replay(i, 16, L) for i in range(8)]
+    global_replay = jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape((-1,) + xs[0].shape[1:])
+        if xs[0].ndim else jnp.stack(xs), *locals_)
+    global_replay = jax.device_put(
+        global_replay, NamedSharding(mesh, P(DATA_AXIS)))
+
+    def local_fn(ts, rs, rng):
+      rs = rs.replace(cursor=rs.cursor[0], total_added=rs.total_added[0])
+      rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+      ts2, rs2, _ = mu(ts, rs, rng)
+      return ts2
+
+    step = jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=P(),
+        check_vma=False))
+    return step(ts, global_replay, jax.random.PRNGKey(3))
+
+  def test_fused_matches_xla_params(self, mesh, monkeypatch):
+    ts_fused = self._run(mesh, True, monkeypatch)
+    ts_xla = self._run(mesh, False, monkeypatch)
+    leaves_f = jax.tree.leaves(ts_fused.params)
+    leaves_x = jax.tree.leaves(ts_xla.params)
+    for a, b in zip(leaves_f, leaves_x):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 atol=3e-4, rtol=3e-4)
