@@ -342,6 +342,15 @@ MATRIX = [
                                   num_envs=512, num_simulations=64,
                                   collect_steps=20, batch_size=1024,
                                   updates=0, iters=3, tile=256, spi=32.0)),
+    # Stochastic MuZero at training density (VERDICT r4 item 4): the
+    # reference's own 200-sim default (stochastic_muzero/config.py:17)
+    # with the SPI=32 learner load. scripts/profile_smz_training.py
+    # decomposes where the iteration goes.
+    ("smz_training", dict(policy="stochastic", network="smz_mlp",
+                          num_envs=256, num_simulations=200,
+                          collect_steps=20, batch_size=256,
+                          updates=0, iters=2, tile=0, spi=32.0,
+                          presample=64)),
 ]
 
 

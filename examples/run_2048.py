@@ -26,6 +26,10 @@ flags.DEFINE_string("policy", "muzero", "muzero | gumbel")
 
 
 def main(_):
+  # Pin to CPU if the ambient backend cannot proxy host callbacks
+  # (e.g. a relayed chip) -- must run before any jax device use.
+  from muax_tpu.envs.gym_adapter import ensure_host_callback_backend
+  ensure_host_callback_backend()
   from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
                                TrainConfig)
   from muax_tpu.envs.native2048 import Native2048Pool

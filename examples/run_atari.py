@@ -88,6 +88,8 @@ def make_pool(num_envs: int, seed: int):
 
 
 def main(_):
+  from muax_tpu.envs.gym_adapter import ensure_host_callback_backend
+  ensure_host_callback_backend()
   import jax
   import jax.numpy as jnp
 

@@ -34,6 +34,57 @@ import numpy as np
 from muax_tpu.envs.base import AutoResetState, EnvSpec
 
 
+def ensure_host_callback_backend(timeout: float = 180.0) -> bool:
+  """Host-pool entry guard: pin this process to CPU when the selected
+  backend cannot proxy host callbacks (``io_callback``), BEFORE the
+  backend initializes.
+
+  Some remote-tunneled PJRT plugins register under the platform name
+  "tpu" but reject (or hang on) host send/recv callbacks — e.g.
+  ``UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks``.
+  The probe runs in a SUBPROCESS because probing in-process would itself
+  initialize (and permanently pin) the unusable backend; jax cannot
+  switch platforms after initialization.
+
+  Returns True if the ambient backend supports host callbacks (nothing
+  changed), False if the process was re-pinned to CPU. Call this before
+  any jax device use; examples using host pools call it first thing.
+  """
+  import subprocess
+  import sys
+  import warnings
+
+  # Already pinned to CPU (e.g. the test runners' pre-init config update):
+  # CPU always supports host callbacks — skip the subprocess probe, which
+  # would otherwise initialize the AMBIENT backend (possibly a tunneled
+  # chip another process is using).
+  try:
+    if (getattr(jax.config, "jax_platform_name", None) == "cpu"
+        or str(getattr(jax.config, "jax_platforms", "") or "")
+        .startswith("cpu")):
+      return True
+  except Exception:
+    pass
+  code = (
+      "import jax, jax.numpy as jnp, numpy as np, jax.experimental\n"
+      "jax.jit(lambda: jax.experimental.io_callback("
+      "lambda: np.float32(0), jax.ShapeDtypeStruct((), jnp.float32), "
+      "ordered=False))()\n")
+  try:
+    ok = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                        capture_output=True).returncode == 0
+  except Exception:
+    ok = False
+  if not ok:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    warnings.warn(
+        "host callbacks are unsupported on the ambient jax backend; "
+        "pinned this process to the CPU backend for the host-env pool",
+        stacklevel=2)
+  return ok
+
+
 class GymVectorPool:
   """N host gym envs with host-side auto-reset, batched io_callback step."""
 

@@ -54,6 +54,12 @@ def main():
   p.add_argument("--selfplay", action="store_true",
                  help="compose the 19x256 tower into Connect-Four "
                       "self-play + learner iterations and record moves/s")
+  p.add_argument("--selfplay_iters", type=int, default=3,
+                 help="self-play iterations; >3 records a loss curve + "
+                      "periodic eval-vs-random trend (VERDICT r4 item 8: "
+                      "'Go-scale training' must mean training, not "
+                      "stepping)")
+  p.add_argument("--eval_every", type=int, default=10)
   p.add_argument("--skip_replicated", action="store_true")
   args = p.parse_args()
 
@@ -168,17 +174,30 @@ def main():
                                                  replay, up_rng)
       return c4_params, opt_state, state, replay, rng, m
 
+    from muax_tpu.train.selfplay import evaluate_vs_random
     print("[go] compiling self-play composition...", flush=True)
     c4_params, opt_state, state, replay, rng, m = iteration(
         c4_params, opt_state, state, replay, rng)
     float(m["loss"])
-    n_it = 3
+    n_it = args.selfplay_iters
+    loss_curve, eval_curve = [], []
+    eval_s = 0.0
     t0 = time.time()
-    for _ in range(n_it):
+    for it in range(n_it):
       c4_params, opt_state, state, replay, rng, m = iteration(
           c4_params, opt_state, state, replay, rng)
-      float(m["loss"])
-    dt = (time.time() - t0) / n_it
+      loss_curve.append(round(float(m["loss"]), 4))
+      if n_it > 3 and ((it + 1) % args.eval_every == 0 or it == n_it - 1):
+        te = time.time()
+        rng, eval_rng = jax.random.split(rng)
+        score = evaluate_vs_random(game, net_c4, c4_params, eval_rng,
+                                   num_games=64, num_simulations=32)
+        eval_curve.append({"iteration": it + 1,
+                           "eval_vs_random": round(float(score), 4)})
+        print(f"[go] it {it + 1}: loss {loss_curve[-1]:.3f} "
+              f"eval_vs_random {score:+.3f}", flush=True)
+        eval_s += time.time() - te
+    dt = (time.time() - t0 - eval_s) / n_it
     moves = config.num_envs * config.collect_steps
     results["selfplay_composition"] = {
         "game": "connect_four",
@@ -187,9 +206,14 @@ def main():
         "num_simulations": config.num_simulations,
         "updates_per_iteration": config.updates_per_iteration,
         "batch_size": config.batch_size,
+        "iterations": n_it,
         "moves_per_s": round(moves / dt, 1),
         "iteration_ms": round(dt * 1e3, 1),
         "loss_finite": bool(jnp.isfinite(m["loss"])),
+        "loss_first5": loss_curve[:5],
+        "loss_last5": loss_curve[-5:],
+        "loss_curve": loss_curve,
+        "eval_vs_random_curve": eval_curve,
     }
     print(f"selfplay composition: {moves/dt:,.0f} moves/s "
           f"({dt*1e3:.0f} ms/iter)", flush=True)

@@ -111,3 +111,21 @@ def test_fit_over_pool_with_dedicated_eval_env():
   # Training pool stepped exactly (warm-up + train) * collect_steps times.
   warm_iters = max(1, 8 // 4)
   assert pool.host_steps == (warm_iters + 2) * 6
+
+
+def test_ensure_host_callback_backend_leaves_cpu_working():
+  """The host-pool entry guard must leave the process on a backend where
+  io_callback works (the conftest CPU backend here); the tunneled-TPU
+  fallback path re-pins jax_platforms before initialization (validated
+  manually on the relayed chip, where the probe returns False)."""
+  import numpy as np
+
+  import jax.experimental
+  from muax_tpu.envs.gym_adapter import ensure_host_callback_backend
+
+  result = ensure_host_callback_backend(timeout=300)
+  assert result in (True, False)
+  out = jax.jit(lambda: jax.experimental.io_callback(
+      lambda: np.float32(7.0), jax.ShapeDtypeStruct((), jnp.float32),
+      ordered=True))()
+  assert float(out) == 7.0
