@@ -100,8 +100,9 @@ def fused_status(networks, config, params,
     from muax_tpu.train.learner import TrainState, make_multi_update_fn
     mu = make_multi_update_fn(networks, optimizer or optax.sgd(0.0), config)
     ts = TrainState(params=params, opt_state=(), step=0)
-    lw, reason = mu.fused_group_status(ts, replay_state)
-    report["fused_sampler"] = {"active": lw is not None, "reason": reason}
+    mode, _, reason = mu.fused_group_status(ts, replay_state)
+    report["fused_sampler"] = {"active": mode is not None,
+                               "reason": reason}
   return report
 
 

@@ -49,10 +49,10 @@ from muax_tpu.replay.buffer import ReplayState
 
 class RawLayout(NamedTuple):
   """Static row offsets into the [R, W] raw output."""
-  O: int            # obs feature rows (window start obs)
+  O: int            # obs feature rows
   K: int            # unroll steps
   A: int            # actions (pi rows = K * A, step-major)
-  obs: int          # rows [obs : obs+O]
+  obs: int          # rows [obs : obs+obs_rows]
   action: int       # rows [action : action+K]
   reward: int
   rn: int
@@ -63,13 +63,21 @@ class RawLayout(NamedTuple):
   denom: int        # 1 row — max(sum(mask), 1)
   tstep: int        # 1 row — segment target_step (staleness ledger)
   rows: int         # total (padded to a multiple of 8)
+  # per_step_obs=False: obs rows carry only the WINDOW-START observation
+  # (row f) — what the raw-input learner kernel consumes. True: obs at
+  # EVERY window step (row f*K + j) so a full [B, K, obs] Transition can
+  # be reconstructed — the hybrid path feeding families without a raw
+  # kernel (stochastic 5-net, fc-resnet) from the fused sampler.
+  per_step_obs: bool = False
+  obs_rows: int = 0
 
 
-def make_raw_layout(obs_features: int, k_steps: int,
-                    num_actions: int) -> RawLayout:
+def make_raw_layout(obs_features: int, k_steps: int, num_actions: int,
+                    per_step_obs: bool = False) -> RawLayout:
   O, K, A = obs_features, k_steps, num_actions
+  obs_rows = O * K if per_step_obs else O
   obs = 0
-  action = obs + O
+  action = obs + obs_rows
   reward = action + K
   rn = reward + K
   pi = rn + K
@@ -82,7 +90,8 @@ def make_raw_layout(obs_features: int, k_steps: int,
   rows = ((rows + 7) // 8) * 8
   return RawLayout(O=O, K=K, A=A, obs=obs, action=action, reward=reward,
                    rn=rn, pi=pi, mask=mask, start=start, weight=weight,
-                   denom=denom, tstep=tstep, rows=rows)
+                   denom=denom, tstep=tstep, rows=rows,
+                   per_step_obs=per_step_obs, obs_rows=obs_rows)
 
 
 class RingT(NamedTuple):
@@ -189,7 +198,11 @@ def _make_sampler_kernel(*, C: int, L: int, K: int, O: int, A: int, T: int,
     out = [None] * layout.rows
 
     for f in range(O):
-      out[layout.obs + f] = at_start(g_obs, f * L)
+      if layout.per_step_obs:
+        for j in range(K):
+          out[layout.obs + f * K + j] = at_start(g_obs, f * L + j)
+      else:
+        out[layout.obs + f] = at_start(g_obs, f * L)
     for j in range(K):
       out[layout.action + j] = at_start(g_act, j)
       out[layout.reward + j] = at_start(g_rew, j)
@@ -211,7 +224,11 @@ def _make_sampler_kernel(*, C: int, L: int, K: int, O: int, A: int, T: int,
     out[layout.weight] = at_start(g_prio, 0)
     out[layout.denom] = jnp.maximum(denom, 1.0)
     out[layout.tstep] = g_tstep
-    for r in range(layout.denom + 1, layout.rows):
+    # Zero-fill only the PADDING rows. (r4 started this loop at denom+1,
+    # which is the tstep row — the staleness ledger row was overwritten
+    # with zeros, so the fused path's target_staleness metric read
+    # `step - 0`; caught by test_tstep_row_survives_padding.)
+    for r in range(layout.tstep + 1, layout.rows):
       out[r] = jnp.zeros_like(start)
     out_ref[:] = jnp.concatenate(out, axis=0)
 
@@ -228,6 +245,7 @@ def fused_sample_group(
     *,
     lane_tile: int = 512,
     interpret: Optional[bool] = None,
+    per_step_obs: bool = False,
 ) -> tuple[jax.Array, RawLayout]:
   """Gather + window-extract W windows; returns ([R, W] raw, layout)."""
   if interpret is None:
@@ -237,7 +255,7 @@ def fused_sample_group(
   A = ring_t.pi.shape[0] // L
   W = seg_idx.shape[0]
   K = k_steps
-  layout = make_raw_layout(O, K, A)
+  layout = make_raw_layout(O, K, A, per_step_obs=per_step_obs)
 
   T = min(lane_tile, W)
   if W % T != 0:

@@ -187,6 +187,35 @@ def _deinterleave_flat(per_chunk: jax.Array, B: int) -> jax.Array:
   return jnp.swapaxes(per_chunk, 0, 1).reshape(-1)
 
 
+def _transition_from_raw(raw_j, lay, obs_shape, weight_j):
+  """Reshape a [R, B] fused-sampler raw slice (per_step_obs layout) back
+  into the [B, K, ...] Transition the generic losses consume — the
+  "hybrid" fast path: kernel gather, XLA gradients.
+
+  ``done``/``value`` are not carried in the raw layout; neither loss
+  reads them (validity lives in ``mask``, priorities use ``rn``)."""
+  from muax_tpu.types import Transition
+  B = raw_j.shape[1]
+  K, O, A = lay.K, lay.O, lay.A
+
+  def rows(base, n):
+    return jax.lax.dynamic_slice_in_dim(raw_j, base, n, axis=0)
+
+  obs = (rows(lay.obs, O * K).reshape(O, K, B).transpose(2, 1, 0)
+         .reshape((B, K) + tuple(obs_shape)))
+  pi = rows(lay.pi, K * A).reshape(K, A, B).transpose(2, 0, 1)
+  return Transition(
+      obs=obs,
+      action=rows(lay.action, K).T.astype(jnp.int32),
+      reward=rows(lay.reward, K).T,
+      done=jnp.zeros((B, K), jnp.bool_),
+      rn=rows(lay.rn, K).T,
+      value=jnp.zeros((B, K), jnp.float32),
+      pi=pi,
+      weight=weight_j,
+      mask=rows(lay.mask, K).T)
+
+
 def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
                          axis_name: str | None = None):
   """N updates per call, presampled in GROUPS (the reference's dataset
@@ -219,73 +248,87 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
                  "l2_loss", "grad_norm")
 
   def _fused_group_status(train_state, replay_state):
-    """Trace-time dispatch for the fused sampler + raw-kernel path.
+    """Trace-time dispatch for the fused-sampler grouped learner.
 
-    Returns (learner_weights | None, reason) — the reason string feeds
-    ``fused_status`` so a config that silently steps off the fast path is
-    visible in the fit log instead of a quiet 2x regression."""
-    if not (tcfg.fused_learner and tcfg.fused_sampler):
-      return None, "disabled by config (fused_learner/fused_sampler)"
-    if hasattr(networks, "chance"):
-      return None, "stochastic 5-net family has no raw learner kernel"
+    Returns (mode, learner_weights, reason):
+      * mode "raw": fused sampler feeds the raw-input learner KERNEL
+        (MLP / acme LayerNormMLP — loss+backward as one Pallas op),
+      * mode "hybrid": fused sampler feeds a reconstructed Transition
+        into the XLA grad step (families without a raw kernel whose obs
+        still fit the VMEM ring: stochastic 5-net, fc-resnet),
+      * mode None: the XLA replay_sample path, with the reason string —
+        surfaced by ``fused_status`` so a config that silently steps off
+        the fast path is visible instead of a quiet 2x regression."""
+    if not tcfg.fused_sampler:
+      return None, None, "disabled by config (fused_sampler)"
     if tcfg.observation_transform is not None:
-      return None, "observation_transform runs on the XLA sampled batch"
+      return None, None, "observation_transform runs on the XLA sampled batch"
     if jax.default_backend() == "cpu" and not _ALLOW_FUSED_SAMPLER_ON_CPU:
       # Interpret-mode Pallas is far slower than XLA on CPU; the flag lets
       # tests drive the fused path under the CPU conftest.
-      return None, "CPU backend (interpret-mode Pallas is slower than XLA)"
-    from muax_tpu.models.fused_learner import (
-        extract_categorical_learner_spec, extract_learner_weights)
-    lw = (extract_learner_weights(networks, train_state.params)
-          or extract_categorical_learner_spec(networks, train_state.params))
-    if lw is None:
-      return None, ("network family has no LearnerSpec (MLP + acme "
-                    "LayerNormMLP only; fc-resnet/conv use jax.grad)")
+      return None, None, "CPU backend (interpret-mode Pallas is slower than XLA)"
+    lw = None
+    if tcfg.fused_learner and not hasattr(networks, "chance"):
+      from muax_tpu.models.fused_learner import (
+          extract_categorical_learner_spec, extract_learner_weights)
+      lw = (extract_learner_weights(networks, train_state.params)
+            or extract_categorical_learner_spec(networks,
+                                                train_state.params))
+    mode = "raw" if lw is not None else "hybrid"
     C = replay_state.capacity
     L = replay_state.segment_length
     O = 1
     for d in replay_state.obs.shape[2:]:
       O *= d
     A = networks.num_actions
+    K = tcfg.unroll_steps
     W = group * B
     T = min(512, W)
     if O > 64:
-      return None, f"obs features {O} > 64 (conv/pixel rings stay in HBM)"
-    if L - tcfg.unroll_steps + 1 < 1:
-      return None, f"unroll {tcfg.unroll_steps} exceeds segment length {L}"
+      return None, None, (f"obs features {O} > 64 "
+                          "(conv/pixel rings stay in HBM)")
+    if L - K + 1 < 1:
+      return None, None, f"unroll {K} exceeds segment length {L}"
     # Pallas tiles lanes in multiples of 128: a W that merely divides the
     # 512-lane tile (e.g. 192) would still compile a misaligned kernel.
     if W % T != 0 or W % 128 != 0:
-      return None, (f"group*batch {W} not a multiple of 128 "
-                    "(lane-tile alignment)")
+      return None, None, (f"group*batch {W} not a multiple of 128 "
+                          "(lane-tile alignment)")
     if C > 8192:
-      return None, f"capacity {C} > 8192 segments (kernel design bound)"
+      return None, None, f"capacity {C} > 8192 segments (kernel design bound)"
     # The ring is const-resident in VMEM: [O*L + A*L + 5L + 1, C] f32 rows
     # (obs, pi, action/reward/rn/done/priorities, target_step) + the
     # per-tile working set (the [C, T] one-hot, gathered rows, raw output,
-    # gumbel). Falling back beats a Pallas VMEM-exhaustion compile error
-    # (ADVICE r4).
+    # gumbel). The hybrid mode extracts obs at every window step (O*K
+    # output rows instead of O). Falling back beats a Pallas
+    # VMEM-exhaustion compile error (ADVICE r4).
+    obs_out = O * K if mode == "hybrid" else O
     ring_rows = O * L + A * L + 5 * L + 1
-    out_rows = O + 3 * tcfg.unroll_steps + A * tcfg.unroll_steps + 4 + 8
+    out_rows = obs_out + 3 * K + A * K + K + 4 + 8
     const_bytes = ring_rows * C * 4
     tile_bytes = (C + ring_rows + 2 * out_rows + L + 1) * T * 4
     budget = 80 * 1024 * 1024
     if const_bytes + tile_bytes > budget:
-      return None, (f"ring + tile VMEM estimate "
-                    f"{(const_bytes + tile_bytes) >> 20} MB > "
-                    f"{budget >> 20} MB budget (capacity {C}, obs {O}, "
-                    f"actions {A})")
-    return lw, "active"
+      return None, None, (f"ring + tile VMEM estimate "
+                          f"{(const_bytes + tile_bytes) >> 20} MB > "
+                          f"{budget >> 20} MB budget (capacity {C}, "
+                          f"obs {O}, actions {A})")
+    return mode, lw, f"active ({mode})"
 
   def _fused_group_ok(train_state, replay_state):
     return _fused_group_status(train_state, replay_state)[0]
 
-  def _fused_multi_update(train_state, replay_state, rng, num_allowed, lw):
+  def _fused_multi_update(train_state, replay_state, rng, num_allowed,
+                          mode, lw):
     """The fused-sampler grouped learner: per group, ONE Pallas sampler
     kernel gathers+extracts group*B windows from the VMEM-resident ring
-    (replay/fused_sampler.py), then the scan body is a single raw-input
-    gradient kernel + the optax tail — no per-update gather, one_hot,
-    support transform, or transpose. Semantics match the XLA grouped path
+    (replay/fused_sampler.py). In mode "raw" the scan body is a single
+    raw-input gradient kernel + the optax tail — no per-update gather,
+    one_hot, support transform, or transpose. In mode "hybrid" the raw
+    rows are reshaped back into a [B, K, ...] Transition (cheap XLA
+    transposes) and fed to the generic grad step — families without a
+    raw kernel (stochastic 5-net, fc-resnet) still skip the expensive
+    XLA window gather. Semantics match the XLA grouped path
     (online/offline interleave, SPI gating, group-cadence priority
     refresh); only the sampling RNG stream differs (documented in
     fused_sampler.py)."""
@@ -298,6 +341,7 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
     _finish = _make_finish(optimizer, axis_name)
     W = group * B
     K = tcfg.unroll_steps
+    obs_shape = replay_state.obs.shape[2:]
     # Chunk g = contiguous lanes [g*B, (g+1)*B); this permutation gives it
     # the interleaved content assignment (mega-row i -> chunk i % group),
     # so every gradient step sees its proportional online/offline mix —
@@ -314,7 +358,8 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
           rs, seg_rng, W, offline_fraction=config.replay.offline_fraction,
           online_queue_size=config.replay.online_queue_size)[perm]
       raw, lay = fused_sample_group(ring_t, rs.step_priorities,
-                                    rs.target_step, seg_idx, gum_rng, K)
+                                    rs.target_step, seg_idx, gum_rng, K,
+                                    per_step_obs=(mode == "hybrid"))
       starts = raw[lay.start].astype(jnp.int32)
       w_raw = raw[lay.weight]
       denom = raw[lay.denom]
@@ -326,6 +371,10 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
 
       def run_one(ts_c, j):
         raw_j = jax.lax.dynamic_slice_in_dim(raw, j * B, B, axis=1)
+        if mode == "hybrid":
+          weight_j = jax.lax.dynamic_slice_in_dim(weight, j * B, B, axis=0)
+          batch_j = _transition_from_raw(raw_j, lay, obs_shape, weight_j)
+          return grad_step(ts_c, batch_j)
         coef_j = jax.lax.dynamic_slice_in_dim(coef, j * B, B, axis=0)
         lw_c = (extract_learner_weights(networks, ts_c.params)
                 or extract_categorical_learner_spec(networks, ts_c.params))
@@ -381,10 +430,10 @@ def make_multi_update_fn(networks, optimizer, config: MuZeroConfig,
 
   def multi_update(train_state: TrainState, replay_state: ReplayState,
                    rng: jax.Array, num_allowed=None):
-    lw = _fused_group_ok(train_state, replay_state)
-    if lw is not None:
+    mode, lw, _ = _fused_group_status(train_state, replay_state)
+    if mode is not None:
       return _fused_multi_update(train_state, replay_state, rng,
-                                 num_allowed, lw)
+                                 num_allowed, mode, lw)
     def group_body(carry, xs):
       g, rng_g = xs
       ts, rs = carry

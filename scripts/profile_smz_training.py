@@ -59,9 +59,16 @@ def main():
                         batch_size=BATCH, updates_per_iteration=updates,
                         unroll_steps=5, n_bootstrap=10,
                         presample_updates=64))
+  import dataclasses
   optimizer = muzero_optimizer()
   rollout = make_rollout_fn(networks, env, config)
   multi_update = make_multi_update_fn(networks, optimizer, config)
+  # Baseline arm: XLA replay_sample path (no fused sampler) — quantifies
+  # what the hybrid mode (fused gather -> reconstructed Transition ->
+  # jax.grad) buys the SMZ family.
+  config_xla = dataclasses.replace(
+      config, train=dataclasses.replace(config.train, fused_sampler=False))
+  multi_update_xla = make_multi_update_fn(networks, optimizer, config_xla)
 
   rng = jax.random.PRNGKey(0)
   rng, init_rng, env_rng = jax.random.split(rng, 3)
@@ -118,6 +125,28 @@ def main():
 
   results["multi_update_ms"] = round(best_of(block_learn) / 2 * 1e3, 1)
   print("multi_update_ms", results["multi_update_ms"], flush=True)
+
+  @jax.jit
+  def learner_only_xla(ts, rs, rng):
+    ts2, _, metrics = multi_update_xla(ts, rs, rng)
+    return ts2, metrics
+
+  print("[p] compiling multi_update_xla", file=sys.stderr, flush=True)
+  rng, r = jax.random.split(rng)
+  ts2, metrics = learner_only_xla(ts, rs, r)
+  sync(metrics["loss"])
+
+  def block_learn_xla():
+    nonlocal rng
+    for _ in range(2):
+      rng, r = jax.random.split(rng)
+      ts2, metrics = learner_only_xla(ts, rs, r)
+    sync(metrics["loss"])
+
+  results["multi_update_xla_sampler_ms"] = round(
+      best_of(block_learn_xla) / 2 * 1e3, 1)
+  print("multi_update_xla_sampler_ms",
+        results["multi_update_xla_sampler_ms"], flush=True)
 
   # Fixed-batch grad+opt scan: isolates sampling/gather/prep from compute.
   rng, r = jax.random.split(rng)

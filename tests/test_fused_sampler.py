@@ -232,3 +232,98 @@ class TestFusedMultiUpdate:
       originals = perm[g * B:(g + 1) * B]
       online = (originals >= W - num_online).sum()
       assert online == num_online // group
+
+
+class TestPerStepObsAndHybrid:
+  """per_step_obs extraction + the hybrid mode (fused sampler feeding the
+  XLA grad step for families without a raw kernel — VERDICT r4 item 4's
+  SMZ treatment, which also covers fc-resnet)."""
+
+  def test_per_step_obs_matches_direct_indexing(self):
+    K, W = 3, 128
+    rs = make_filled_replay(jax.random.PRNGKey(0))
+    seg_idx = jax.random.randint(jax.random.PRNGKey(1), (W,), 0, 12)
+    gum_rng = jax.random.PRNGKey(2)
+    raw, lay = fused_sample_group(transpose_ring(rs), rs.step_priorities,
+                                  rs.target_step, seg_idx, gum_rng, K,
+                                  interpret=True, per_step_obs=True)
+    raw = np.asarray(raw)
+    starts = raw[lay.start].astype(np.int32)
+    obs = np.asarray(rs.obs)
+    seg = np.asarray(seg_idx)
+    O = lay.O
+    for w in [0, 7, 63, 127]:
+      for f in range(O):
+        for j in range(K):
+          assert raw[lay.obs + f * K + j, w] == pytest.approx(
+              obs[seg[w], starts[w] + j, f], abs=1e-6)
+
+  def test_tstep_row_survives_padding(self):
+    # r4 zero-filled from denom+1, overwriting the tstep row — the fused
+    # path's staleness metric silently read `step - 0`.
+    K, W = 3, 128
+    rs = make_filled_replay(jax.random.PRNGKey(0))
+    rs = rs.replace(target_step=jnp.arange(rs.capacity, dtype=jnp.int32))
+    seg_idx = jax.random.randint(jax.random.PRNGKey(1), (W,), 0, 12)
+    raw, lay = fused_sample_group(transpose_ring(rs), rs.step_priorities,
+                                  rs.target_step, seg_idx,
+                                  jax.random.PRNGKey(2), K, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(raw)[lay.tstep], np.asarray(seg_idx, np.float32))
+
+  def _uniform_stochastic_setup(self, fused_sampler):
+    from muax_tpu.models import make_stochastic_mlp_networks
+    import optax
+    from muax_tpu.train.learner import TrainState, make_multi_update_fn
+    L = 8
+    config = MuZeroConfig(
+        search=SearchConfig(policy="stochastic", num_simulations=4),
+        replay=ReplayConfig(capacity=16, min_fill=4),
+        train=TrainConfig(num_envs=8, collect_steps=L, batch_size=128,
+                          updates_per_iteration=1, unroll_steps=3,
+                          n_bootstrap=4, presample_updates=1,
+                          fused_sampler=fused_sampler))
+    networks = make_stochastic_mlp_networks(2, num_chance_outcomes=4,
+                                            embedding_dim=8, support_size=5)
+    params = networks.init_params(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    opt = optax.sgd(1e-2)
+    ts = TrainState(params=params, opt_state=opt.init(params),
+                    step=jnp.asarray(0, jnp.int32))
+    # Window-invariant replay: segments constant in time, uniform
+    # priorities -> every drawn window is identical, so the fused and XLA
+    # samplers (different RNG streams) must yield identical batches.
+    K = 16
+    segs = Transition(
+        obs=jnp.full((K, L, 4), 0.3),
+        action=jnp.ones((K, L), jnp.int32),
+        reward=jnp.full((K, L), 0.25),
+        done=jnp.zeros((K, L), bool),
+        rn=jnp.full((K, L), 0.5),
+        value=jnp.zeros((K, L)),
+        pi=jnp.full((K, L, 2), 0.5),
+        weight=jnp.ones((K,)),
+        mask=jnp.ones((K, L)))
+    rs = replay_add(replay_init(16, L, (4,), 2), segs, jnp.ones((K, L)))
+    mu = make_multi_update_fn(networks, opt, config)
+    return mu, ts, rs
+
+  def test_hybrid_mode_engages_for_stochastic(self, monkeypatch):
+    import muax_tpu.train.learner as learner_mod
+    monkeypatch.setattr(learner_mod, "_ALLOW_FUSED_SAMPLER_ON_CPU", True)
+    mu, ts, rs = self._uniform_stochastic_setup(True)
+    mode, lw, reason = mu.fused_group_status(ts, rs)
+    assert mode == "hybrid" and lw is None, reason
+
+  def test_hybrid_matches_xla_path_on_uniform_replay(self, monkeypatch):
+    import muax_tpu.train.learner as learner_mod
+    monkeypatch.setattr(learner_mod, "_ALLOW_FUSED_SAMPLER_ON_CPU", True)
+    mu_f, ts, rs = self._uniform_stochastic_setup(True)
+    mu_x, _, _ = self._uniform_stochastic_setup(False)
+    ts_f, rs_f, m_f = mu_f(ts, rs, jax.random.PRNGKey(3))
+    ts_x, rs_x, m_x = mu_x(ts, rs, jax.random.PRNGKey(9))
+    for a, b in zip(jax.tree.leaves(ts_f.params),
+                    jax.tree.leaves(ts_x.params)):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                               rtol=1e-4)

@@ -73,8 +73,8 @@ class TestFusedStatus:
     mu = make_multi_update_fn(networks, optax.sgd(0.0), config)
     from muax_tpu.train.learner import TrainState
     ts = TrainState(params=params, opt_state=(), step=0)
-    lw, reason = mu.fused_group_status(ts, rs)
-    assert lw is None
+    mode, lw, reason = mu.fused_group_status(ts, rs)
+    assert mode is None and lw is None
     assert "128" in reason
 
   def test_gate_rejects_vmem_blowout(self, monkeypatch):
@@ -97,8 +97,8 @@ class TestFusedStatus:
     from muax_tpu.train.learner import TrainState, make_multi_update_fn
     mu = make_multi_update_fn(networks, optax.sgd(0.0), config)
     ts = TrainState(params=params, opt_state=(), step=0)
-    lw, reason = mu.fused_group_status(ts, rs)
-    assert lw is None
+    mode, lw, reason = mu.fused_group_status(ts, rs)
+    assert mode is None and lw is None
     assert "VMEM" in reason
 
   def test_format_one_line(self):

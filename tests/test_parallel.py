@@ -255,8 +255,9 @@ class TestFusedPathUnderShardMap:
     if fused:
       # The gate must report the fused path ACTIVE for this setup —
       # otherwise this test silently compares XLA against XLA.
-      lw, reason = mu.fused_group_status(ts, self._uniform_replay(0, 16, L))
-      assert lw is not None, reason
+      mode, lw, reason = mu.fused_group_status(
+          ts, self._uniform_replay(0, 16, L))
+      assert mode == "raw" and lw is not None, reason
 
     locals_ = [self._uniform_replay(i, 16, L) for i in range(8)]
     global_replay = jax.tree.map(
