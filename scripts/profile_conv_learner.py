@@ -46,7 +46,8 @@ def main():
   from muax_tpu.train.learner import TrainState, make_multi_update_fn
 
   updates = max(1, math.ceil(SPI * NUM_ENVS * COLLECT / BATCH))
-  env = AutoResetWrapper(PixelCatch(rows=10, columns=5, scale=8))
+  env = AutoResetWrapper(PixelCatch(rows=10, columns=5, scale=8,
+                                    dtype=jnp.uint8))
   networks = make_efficientzero_networks(num_actions=3, support_size=20,
                                          channels=32, num_blocks=2)
   config = MuZeroConfig(
@@ -67,7 +68,7 @@ def main():
   ts = TrainState(params=params, opt_state=optimizer.init(params),
                   step=jnp.asarray(0, jnp.int32))
   env_carry = env.reset(env_rng, NUM_ENVS)
-  rs = replay_init(2048, COLLECT, obs_shape, 3)
+  rs = replay_init(2048, COLLECT, obs_shape, 3, obs_dtype=jnp.uint8)
 
   results = {"updates_per_iteration": updates, "obs_shape": list(obs_shape),
              "device": str(jax.devices()[0])}

@@ -79,7 +79,8 @@ def main():
 
   measure("sampler_kernel_ms_per_group",
           lambda r, prios: jnp.sum(
-              fused_sample_group(ring_t, prios, seg_fixed, r, K)[0][-3]),
+              fused_sample_group(ring_t, prios, rs.target_step, seg_fixed,
+                                 r, K)[0][-3]),
           rs.step_priorities)
   measure("draw_segments_ms_per_group",
           lambda r, rs_: jnp.sum(draw_segments(
