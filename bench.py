@@ -313,10 +313,13 @@ MATRIX = [
     # r3 pinned this row to 128 envs: the pure-XLA program at 512 x 200
     # reproducibly faulted the TPU runtime ([B, 201, A+32] HBM tree
     # arrays). r4's fused SMZ forest kernel (search/fused.py) keeps the
-    # tree in VMEM — the faulting arrays never exist — so the row runs the
-    # reference default at full batch again.
+    # tree in VMEM — the faulting arrays never exist. r5 measurement note:
+    # 512 x 200 no longer faults but exhibits BIMODAL throughput over the
+    # tunneled chip (blocks alternate ~10.4k and ~0.5k env-steps/s within
+    # one process — see the r05 row's repeat_stats); 256 envs is stable,
+    # so it is the canonical row and 512 is kept as the stress row.
     ("stochastic_200sims", dict(policy="stochastic", network="smz_mlp",
-                                num_envs=512, num_simulations=200,
+                                num_envs=256, num_simulations=200,
                                 collect_steps=20, batch_size=256,
                                 updates=8, iters=3, tile=0)),
     # Training-density rows (VERDICT r3 weak #3): the conv and categorical
@@ -351,6 +354,15 @@ MATRIX = [
                           collect_steps=20, batch_size=256,
                           updates=0, iters=2, tile=0, spi=32.0,
                           presample=64)),
+    # LAST on purpose: the 512 x 200 stress config degrades the tunneled
+    # worker's subsequent SMZ programs for tens of minutes (bimodal
+    # ~10.4k/~0.5k env-steps/s blocks) without faulting; keep it from
+    # poisoning the canonical rows.
+    ("stochastic_200sims_512", dict(policy="stochastic", network="smz_mlp",
+                                    num_envs=512, num_simulations=200,
+                                    collect_steps=20, batch_size=256,
+                                    updates=8, iters=3, tile=0,
+                                    repeats=5)),
 ]
 
 

@@ -40,8 +40,12 @@ def main(_):
   from muax_tpu.models import create_optimizer, make_efficientzero_networks
   from muax_tpu.train.fit import fit
 
+  import jax.numpy as jnp
+  # uint8 frames (the reference ALE convention): the replay ring stores
+  # raw bytes and the conv net up-casts on entry.
   env = FrameStackingEnv(
-      PixelCatch(rows=FLAGS.rows, columns=FLAGS.columns, scale=FLAGS.scale),
+      PixelCatch(rows=FLAGS.rows, columns=FLAGS.columns, scale=FLAGS.scale,
+                 dtype=jnp.uint8),
       num_frames=FLAGS.num_frames, stack=False)
   config = MuZeroConfig(
       search=SearchConfig(num_simulations=FLAGS.num_simulations,
