@@ -19,7 +19,8 @@ reports both on the same line:
 Matrix mode (``--matrix``) benches the non-flagship paths — gumbel,
 categorical (acme two-hot family), EZ conv on pixels, stochastic at its
 200-sim reference default, Connect-Four AlphaZero self-play — and writes
-BENCH_MATRIX_r04.json.
+BENCH_MATRIX_r05.json (incremental + resumable; the 512-env SMZ stress
+row runs LAST — see the in-matrix note).
 
 Single mode: pass ``--policy``/``--network``/``--spi`` to bench one
 configuration and print its JSON.
