@@ -81,6 +81,10 @@ def make_networks(kind: str):
     from muax_tpu.models import make_stochastic_mlp_networks
     return make_stochastic_mlp_networks(2, num_chance_outcomes=32,
                                         embedding_dim=32, support_size=20)
+  if kind == "fc_resnet":
+    from muax_tpu.models.acme_networks import make_fc_resnet_networks
+    return make_fc_resnet_networks(num_actions=2, embedding_dim=256,
+                                   num_bins=601, num_blocks=10)
   raise ValueError(kind)
 
 
@@ -346,6 +350,14 @@ MATRIX = [
                                   num_envs=512, num_simulations=64,
                                   collect_steps=20, batch_size=1024,
                                   updates=0, iters=3, tile=256, spi=32.0)),
+    # The 601-bin FC-resnet family (acme networks.py:138-216, the
+    # 2048-style config) at training density: no raw learner kernel
+    # (residual backward not hand-derived), but the r5 HYBRID mode feeds
+    # it from the fused sampler.
+    ("fc_resnet_training", dict(policy="muzero", network="fc_resnet",
+                                num_envs=512, num_simulations=64,
+                                collect_steps=20, batch_size=1024,
+                                updates=0, iters=3, tile=256, spi=32.0)),
     # Stochastic MuZero at training density (VERDICT r4 item 4): the
     # reference's own 200-sim default (stochastic_muzero/config.py:17)
     # with the SPI=32 learner load. scripts/profile_smz_training.py
