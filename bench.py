@@ -102,7 +102,7 @@ def run_config(*, policy: str, network: str, num_envs: int,
                num_simulations: int, collect_steps: int, batch_size: int,
                updates: int, iters: int, tile, spi=None,
                presample: int = 16, seed: int = 0,
-               repeats: int = 3) -> dict:
+               repeats: int = 3, max_depth=None) -> dict:
   """Build the full training iteration (rollout + replay + learner) for one
   configuration and measure sustained throughput on the current backend."""
   from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
@@ -122,7 +122,7 @@ def run_config(*, policy: str, network: str, num_envs: int,
   obs_shape = env.spec.observation_shape
   config = MuZeroConfig(
       search=SearchConfig(policy=policy, num_simulations=num_simulations,
-                          batch_tile=tile or None),
+                          batch_tile=tile or None, max_depth=max_depth),
       # Ring holds at least one full rollout without wrapping a single add.
       replay=ReplayConfig(capacity=max(2048, 2 * num_envs), min_fill=64),
       train=TrainConfig(num_envs=num_envs, collect_steps=collect_steps,
@@ -318,11 +318,13 @@ MATRIX = [
     # r3 pinned this row to 128 envs: the pure-XLA program at 512 x 200
     # reproducibly faulted the TPU runtime ([B, 201, A+32] HBM tree
     # arrays). r4's fused SMZ forest kernel (search/fused.py) keeps the
-    # tree in VMEM — the faulting arrays never exist. r5 measurement note:
-    # 512 x 200 no longer faults but exhibits BIMODAL throughput over the
-    # tunneled chip (blocks alternate ~10.4k and ~0.5k env-steps/s within
-    # one process — see the r05 row's repeat_stats); 256 envs is stable,
-    # so it is the canonical row and 512 is kept as the stress row.
+    # tree in VMEM — the faulting arrays never exist. r5 finding: SMZ
+    # search cost is DATA-DEPENDENT — as the net converges its priors
+    # concentrate, trees grow ~200-deep chains, and the kernel's per-sim
+    # descent/backup while-loops scale with depth (~20x fresh vs
+    # converged; scripts/smz_degradation_series.json). Rows report
+    # median/p10/p90 so both regimes are visible; cap via
+    # SearchConfig.max_depth in production (see smz_training_depth32).
     ("stochastic_200sims", dict(policy="stochastic", network="smz_mlp",
                                 num_envs=256, num_simulations=200,
                                 collect_steps=20, batch_size=256,
@@ -367,10 +369,16 @@ MATRIX = [
                           collect_steps=20, batch_size=256,
                           updates=0, iters=2, tile=0, spi=32.0,
                           presample=64)),
-    # LAST on purpose: the 512 x 200 stress config degrades the tunneled
-    # worker's subsequent SMZ programs for tens of minutes (bimodal
-    # ~10.4k/~0.5k env-steps/s blocks) without faulting; keep it from
-    # poisoning the canonical rows.
+    # Same density with the production depth cap: bounds the converged-net
+    # while-loop cost at a negligible search-quality change on this env.
+    ("smz_training_depth32", dict(policy="stochastic", network="smz_mlp",
+                                  num_envs=256, num_simulations=200,
+                                  collect_steps=20, batch_size=256,
+                                  updates=0, iters=2, tile=0, spi=32.0,
+                                  presample=64, max_depth=32)),
+    # 512-env stress row (the r3 fault config, un-pinned by the fused
+    # kernel); last so its long converged-net blocks don't eat the
+    # matrix budget early.
     ("stochastic_200sims_512", dict(policy="stochastic", network="smz_mlp",
                                     num_envs=512, num_simulations=200,
                                     collect_steps=20, batch_size=256,
