@@ -116,3 +116,37 @@ def test_policy_weights_match_xla():
   np.testing.assert_allclose(np.asarray(aw),
                              np.asarray(out.action_weights),
                              atol=2.5 / sims)
+
+
+def test_max_depth_caps_the_walk_and_matches_xla():
+  """max_depth bounds the descent while-loop — the production knob for the
+  depth-dependent search cost a converged net induces (r5 root cause:
+  scripts/smz_degradation_series.json). Capped fused search must still
+  agree with the capped XLA engine."""
+  networks, params, root, decision_fn, chance_fn = _setup()
+  num_simulations = 24
+  discount = 0.95
+
+  out = stochastic_muzero_policy(
+      params, jax.random.PRNGKey(2), root,
+      decision_recurrent_fn=decision_fn, chance_recurrent_fn=chance_fn,
+      num_simulations=num_simulations,
+      num_chance_outcomes=networks.num_chance_outcomes,
+      dirichlet_fraction=0.0, temperature=1.0, discount=discount,
+      max_depth=2)
+  ref = out.search_tree.summary()
+  ref_dec_visits = np.asarray(ref.visit_counts)[:, :3]
+
+  weights = extract_smz_fused_weights(networks, params)
+  visits, value, qvals = fused_smz_search(
+      root.embedding, root.prior_logits, root.value, weights,
+      num_simulations=num_simulations,
+      num_chance_outcomes=networks.num_chance_outcomes,
+      support_size=networks.support_size, discount=discount,
+      max_depth=2)
+
+  np.testing.assert_allclose(np.sum(visits, -1),
+                             num_simulations * np.ones(visits.shape[0]))
+  assert np.abs(visits - ref_dec_visits).max() <= 2
+  np.testing.assert_allclose(value, np.asarray(ref.value), rtol=1e-3,
+                             atol=1e-3)
