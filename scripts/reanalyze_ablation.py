@@ -21,19 +21,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
-def run(reanalyze: bool, seed: int, num_iterations: int):
+def run(reanalyze: bool, seed: int, num_iterations: int,
+        regime: str = "rich"):
   from muax_tpu.config import (MuZeroConfig, ReplayConfig, SearchConfig,
                                TrainConfig)
   from muax_tpu.envs import CartPole
   from muax_tpu.models import make_mlp_networks, muzero_optimizer
   from muax_tpu.train.fit import fit
 
+  if regime == "starved":
+    # Data-starved regime — where MuZero Reanalyze is DESIGNED to matter
+    # (Schrittwieser et al. 2020 run Reanalyse at high replay:fresh
+    # ratios; the r5 CartPole null showed the rich regime never develops
+    # stale targets). 2 envs x 20 steps = 40 fresh steps/iteration vs
+    # 64 x 256 = 16,384 sampled windows -> SPI ~ 410 (vs 32 reference,
+    # ~13x starved); capacity holds EVERY segment ever collected, so
+    # early-policy targets are never evicted — only reanalyze can fix
+    # them.
+    train = TrainConfig(num_envs=2, collect_steps=20, batch_size=256,
+                        updates_per_iteration=64, unroll_steps=10,
+                        n_bootstrap=10, discount=0.997)
+  else:
+    train = TrainConfig(num_envs=8, collect_steps=20, batch_size=256,
+                        updates_per_iteration=64, unroll_steps=10,
+                        n_bootstrap=10, discount=0.997)
   config = MuZeroConfig(
       search=SearchConfig(policy="muzero", num_simulations=50),
       replay=ReplayConfig(capacity=2048, min_fill=8, priority_alpha=0.5),
-      train=TrainConfig(num_envs=8, collect_steps=20, batch_size=256,
-                        updates_per_iteration=64, unroll_steps=10,
-                        n_bootstrap=10, discount=0.997))
+      train=train)
   networks = make_mlp_networks(num_actions=2, embedding_dim=10,
                                support_size=20, repr_layers=(),
                                pred_layers=(64, 64, 16),
@@ -41,11 +56,14 @@ def run(reanalyze: bool, seed: int, num_iterations: int):
   optimizer = muzero_optimizer(peak_lr=2e-2, end_lr=1e-4, warmup_steps=2000,
                                transition_steps=10000, decay_rate=0.8)
   t0 = time.time()
+  # Starved regime refreshes harder: every 2 iterations x 32 segments
+  # re-covers the ~200-segment buffer every ~12 iterations.
+  every = 2 if regime == "starved" else 4
   _, results = fit(
       CartPole(), networks, config, optimizer,
       num_iterations=num_iterations, seed=seed,
       eval_every=2, log_every=1, model_dir="/tmp/reanalyze_ablation",
-      reanalyze_every=4 if reanalyze else None, reanalyze_segments=32,
+      reanalyze_every=every if reanalyze else None, reanalyze_segments=32,
       log_fn=lambda m: print(m, flush=True))
   wall = time.time() - t0
 
@@ -94,6 +112,8 @@ def main():
   p.add_argument("--seeds", type=str, default="42,7,123,0,1,2,3,5,11,13")
   p.add_argument("--num_iterations", type=int, default=50)
   p.add_argument("--out", type=str, default="REANALYZE_r05.json")
+  p.add_argument("--regime", type=str, default="rich",
+                 choices=("rich", "starved"))
   args = p.parse_args()
 
   seeds = [int(s) for s in args.seeds.split(",")]
@@ -110,7 +130,7 @@ def main():
         print(f"=== {label} seed {seed}: already done ===", flush=True)
         continue
       print(f"=== {label} seed {seed} ===", flush=True)
-      arms[label].append(run(on, seed, args.num_iterations))
+      arms[label].append(run(on, seed, args.num_iterations, args.regime))
       with open(args.out + ".partial", "w") as f:
         json.dump(arms, f)
 
@@ -125,11 +145,18 @@ def main():
   diffs = [auc_on[s] - auc_off[s] for s in paired]
   mean_d, lo, hi = _bootstrap_ci(diffs)
 
+  regimes = {
+      "rich": "cartpole reanalyze on/off at matched update budget "
+              "(8 envs, SPI~100; ON refreshes 32 segments every 4 "
+              "iterations with NOISELESS full-budget search)",
+      "starved": "cartpole reanalyze on/off, DATA-STARVED regime "
+                 "(2 envs x 20 steps vs 64x256 sampled windows/iter, "
+                 "SPI~410, full-retention buffer — the MuZero-Reanalyse "
+                 "replay:fresh regime; ON refreshes 32 segments every 2 "
+                 "iterations with NOISELESS full-budget search)",
+  }
   out = {
-      "experiment": "cartpole reanalyze on/off at matched update budget "
-                    "(64 updates/iter; ON refreshes 32 segments every 4 "
-                    "iterations with NOISELESS full-budget search); "
-                    f"{len(seeds)} seeds per arm",
+      "experiment": f"{regimes[args.regime]}; {len(seeds)} seeds per arm",
       "device": str(jax.devices()[0]),
       **arms,
       "comparison": {
